@@ -1,0 +1,158 @@
+"""Training objectives.
+
+Pure functions plus thin stateless classes (so the config registry can
+instantiate them by name with the reference's config args — e.g.
+`{"type": "GlobalLocalLoss", "args": {...}}`).
+
+Behavior spec: reference model/loss.py. All losses are pure jnp and safe to
+call inside jit; because the jitted train step sees the *global* batch under
+GSPMD, contrastive negatives automatically span all devices (the upgrade of
+the reference's dormant AllGather_multi, trainer/trainer_dist.py:13-31).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from demovlp_tpu.ops.xattn import xattn_score
+
+
+def norm_softmax_loss(sim, temperature: float = 0.05):
+    """Bidirectional InfoNCE on a cosine-similarity matrix
+    (reference model/loss.py:119-138)."""
+    i_logsm = jax.nn.log_softmax(sim / temperature, axis=1)
+    j_logsm = jax.nn.log_softmax(sim.T / temperature, axis=1)
+    loss_i = jnp.mean(jnp.diag(i_logsm))
+    loss_j = jnp.mean(jnp.diag(j_logsm))
+    return -loss_i - loss_j
+
+
+def rwa_loss(
+    im,
+    s,
+    im_mask,
+    s_mask=None,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "prob",
+):
+    """Region-word alignment loss: KL(softmax(lambda*scores) || ~identity)
+    (reference model/loss.py:105-116).
+
+    im: (B, R, D) local region embeds; s: (B, W, D) local word embeds;
+    im_mask/s_mask: additive masks (0 / -100).
+    """
+    scores = xattn_score(im, s, im_mask, s_mask, lambda_softmax, focal_type)
+    labels = jnp.eye(im.shape[0], dtype=scores.dtype)
+    pred = jax.nn.softmax(scores * lambda_softmax, axis=1)
+    loss = pred * (
+        jax.nn.log_softmax(scores * lambda_softmax, axis=1)
+        - jnp.log(labels + 1e-6)
+    )
+    return jnp.mean(jnp.sum(loss, axis=1))
+
+
+def cross_entropy_loss(logits, labels):
+    """Mean softmax cross-entropy with integer labels
+    (reference model/loss.py:180-187, torch nn.CrossEntropyLoss)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
+
+
+def max_margin_ranking_loss(x, margin: float = 1.0, fix_norm: bool = True):
+    """Bidirectional max-margin ranking loss over a similarity matrix
+    (reference model/loss.py:141-177)."""
+    n = x.shape[0]
+    diag = jnp.diag(x)
+    x1 = jnp.broadcast_to(diag[:, None], (n, n)).reshape(-1)
+    x1 = jnp.concatenate([x1, x1], axis=0)
+    x2 = jnp.concatenate([x.reshape(-1), x.T.reshape(-1)], axis=0)
+    max_margin = jax.nn.relu(margin - (x1 - x2))
+    if fix_norm:
+        keep = 1.0 - jnp.eye(n)
+        keep = jnp.concatenate([keep.reshape(-1), keep.T.reshape(-1)], axis=0)
+        # masked mean over the off-diagonal elements (the reference gathers
+        # them with index_select; a masked mean is identical and static-shape)
+        return jnp.sum(max_margin * keep) / jnp.sum(keep)
+    return jnp.mean(max_margin)
+
+
+@dataclass(frozen=True)
+class NormSoftmaxLoss:
+    temperature: float = 0.05
+
+    def __call__(self, sim):
+        return norm_softmax_loss(sim, self.temperature)
+
+
+@dataclass(frozen=True)
+class RWALoss:
+    lambda_softmax: float = 20.0
+    focal_type: str = "prob"
+    margin: float = 0.0  # parity field; unused (reference never uses it)
+    max_violation: bool = False  # parity field; unused
+
+    def __call__(self, im, s, im_mask, s_lens=None, s_mask=None):
+        # s_lens accepted for call-surface parity (reference threads text
+        # lengths through but never uses them, loss.py:294-330).
+        return rwa_loss(im, s, im_mask, s_mask, self.lambda_softmax, self.focal_type)
+
+    def get_sim(self, im, s, im_mask, s_lens=None, s_mask=None):
+        return xattn_score(im, s, im_mask, s_mask, self.lambda_softmax, self.focal_type)
+
+
+@dataclass(frozen=True)
+class GlobalLocalLoss:
+    """Global InfoNCE + local RWA loss (reference model/loss.py:10-45).
+
+    Note: the reference stores `coef` as self.cof_local but never applies it —
+    the total is always global + local (loss.py:41-44). We keep the same
+    (documented) behavior for parity.
+    """
+
+    temperature: float = 0.05
+    lambda_softmax: float = 20.0
+    focal_type: str = "prob"
+    margin: float = 0.0
+    max_violation: bool = False
+    use_local: bool = True
+    use_global: bool = True
+    coef: float = 1000.0
+    global_loss: NormSoftmaxLoss = field(init=False)
+    local_loss: RWALoss = field(init=False)
+
+    def __post_init__(self):
+        object.__setattr__(self, "global_loss", NormSoftmaxLoss(self.temperature))
+        object.__setattr__(
+            self,
+            "local_loss",
+            RWALoss(self.lambda_softmax, self.focal_type, self.margin, self.max_violation),
+        )
+
+    def __call__(self, global_sim, local_im, local_s, local_im_mask, local_s_lens, local_s_mask):
+        if not self.use_local:
+            g = self.global_loss(global_sim)
+            return g, g, jnp.zeros((), dtype=global_sim.dtype)
+        if not self.use_global:
+            l = self.local_loss(local_im, local_s, local_im_mask, local_s_lens, local_s_mask)
+            return l, jnp.zeros((), dtype=l.dtype), l
+        g = self.global_loss(global_sim)
+        l = self.local_loss(local_im, local_s, local_im_mask, local_s_lens, local_s_mask)
+        return g + l, g, l
+
+
+@dataclass(frozen=True)
+class CrossEntropy:
+    def __call__(self, logits, labels):
+        return cross_entropy_loss(logits, labels)
+
+
+@dataclass(frozen=True)
+class MaxMarginRankingLoss:
+    margin: float = 1.0
+    fix_norm: bool = True
+
+    def __call__(self, x):
+        return max_margin_ranking_loss(x, self.margin, self.fix_norm)

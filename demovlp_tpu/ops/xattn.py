@@ -1,0 +1,199 @@
+"""Cross-modal (region <-> word) attention similarity — the local-loss kernel.
+
+This is the semantic core of the RWA local alignment loss and of the local
+half of retrieval evaluation. Behavior spec: reference model/loss.py
+`func_attention_fast` (:209-271), `focal_equal` (:274-283) and
+`xattn_score_fast` (:294-330). The math, including its quirks, is preserved
+exactly; the implementation is a fused einsum formulation that XLA maps onto
+the MXU, with an optional Pallas tiled kernel (see ops/pallas_xattn.py)
+selected by `demovlp_tpu.ops.xattn.set_backend`.
+
+Shapes (all fixed / static):
+  query    (Bq, Lq, D)   e.g. captions (B, W, 256) or regions (B, R, 256)
+  context  (Bc, Ls, D)
+  *_mask   additive masks: 0 for valid, -100 for pad (see ops/masking.py)
+
+Documented reference quirks that we replicate bit-for-bit:
+  * The query-side additive mask is a mathematical no-op: it adds a constant
+    per softmax row (softmax is over the source axis), so it cancels. It is
+    kept in the signature for parity and because focal re-weighting happens
+    *after* the softmax.
+  * The per-position cosine similarity is averaged over ALL query positions,
+    including padded ones (loss.py:317-318,326-327 mean over dim=-1 with no
+    mask).
+  * `cap_lens` (text lengths) are threaded through the reference call chain
+    but never used (loss.py:294-330); we drop the argument.
+  * `xattn_score(images, captions, ...)` returns t2i_sim.T + i2t_sim with
+    shape (n_images, n_captions).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from demovlp_tpu.ops.masking import l2norm
+from demovlp_tpu.ops.similarity import cosine_similarity
+
+_BACKEND = "xla"  # "xla" | "pallas"
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("xla", "pallas"), name
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def focal_equal(attn):
+    """Equal-confidence relevance indicator H(x) = 1[attn > mean(attn)]
+    (reference model/loss.py:274-283: funcF = attn * L - sum(attn))."""
+    source_l = attn.shape[-1]
+    func_f = attn * source_l - jnp.sum(attn, axis=-1, keepdims=True)
+    return (func_f > 0).astype(attn.dtype)
+
+
+def func_attention(
+    query,
+    context,
+    query_mask,
+    context_mask,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "prob",
+):
+    """All-pairs cross attention: for every (context item c, query item q),
+    attend each query position over the context positions and return the
+    attention-weighted (l2-normalized) context.
+
+    Args:
+      query: (Bq, Lq, D)
+      context: (Bc, Ls, D)
+      query_mask: additive (Bq, Lq)   [no-op; kept for parity]
+      context_mask: additive (Bc, Ls)
+    Returns:
+      weighted context (Bc, Bq, Lq, D)
+    """
+    query = l2norm(query, axis=-1)
+    context = l2norm(context, axis=-1)
+
+    # (Bc, Bq, Ls, Lq) raw attention logits
+    attn = jnp.einsum("csd,qld->cqsl", context, query)
+    attn = jax.nn.leaky_relu(attn, negative_slope=0.1)
+    # l2norm over the *query* axis — reference loss.py:238 (l2norm(attn, 3))
+    attn = l2norm(attn, axis=-1)
+    # -> (Bc, Bq, Lq, Ls)
+    attn = jnp.swapaxes(attn, 2, 3)
+    attn = attn + query_mask[None, :, :, None] + context_mask[:, None, None, :]
+    attn = jax.nn.softmax(attn * lambda_softmax, axis=-1)
+
+    if focal_type == "equal":
+        func_h = focal_equal(attn)
+    else:
+        func_h = 1.0
+
+    tmp_attn = func_h * attn
+    attn_sum = jnp.sum(tmp_attn, axis=-1, keepdims=True)
+    re_attn = tmp_attn / attn_sum
+
+    # weighted ctx over source positions: (Bc, Bq, Lq, D)
+    return jnp.einsum("cqls,csd->cqld", re_attn, context)
+
+
+def _xattn_score_xla(
+    images,
+    captions,
+    img_mask,
+    cap_mask,
+    lambda_softmax: float,
+    focal_type: str,
+):
+    # i2t: attend caption words over image regions
+    wei_context = func_attention(
+        captions, images, cap_mask, img_mask, lambda_softmax, focal_type
+    )
+    i2t_sim = cosine_similarity(captions[None], wei_context, axis=-1)
+    i2t_sim = jnp.mean(i2t_sim, axis=-1)  # (n_img, n_cap)
+
+    # t2i: attend image regions over caption words
+    wei_context = func_attention(
+        images, captions, img_mask, cap_mask, lambda_softmax, focal_type
+    )
+    t2i_sim = cosine_similarity(images[None], wei_context, axis=-1)
+    t2i_sim = jnp.mean(t2i_sim, axis=-1)  # (n_cap, n_img)
+
+    return t2i_sim.T + i2t_sim  # (n_img, n_cap)
+
+
+def xattn_score(
+    images,
+    captions,
+    img_mask,
+    cap_mask=None,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "prob",
+):
+    """Symmetric local similarity matrix between image (region) sets and
+    caption (word) sets. Returns (n_images, n_captions).
+
+    Args:
+      images: (Ni, R, D) local region embeddings
+      captions: (Nc, W, D) local word embeddings
+      img_mask: additive (Ni, R)
+      cap_mask: additive (Nc, W); defaults to all-valid (zeros), matching
+        loss.py:307-308 (ones -> but used additively after the caller's
+        (m-1)*100 transform; `None` there produced a *binary* ones mask added
+        as-is, i.e. constant per row = softmax no-op, so zeros is equivalent).
+    """
+    if cap_mask is None:
+        cap_mask = jnp.zeros(captions.shape[:2], dtype=images.dtype)
+    if _BACKEND == "pallas":
+        from demovlp_tpu.ops.pallas_xattn import xattn_score_pallas
+
+        return xattn_score_pallas(
+            images, captions, img_mask, cap_mask, lambda_softmax, focal_type
+        )
+    return _xattn_score_xla(
+        images, captions, img_mask, cap_mask, lambda_softmax, focal_type
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("segment", "lambda_softmax", "focal_type"))
+def xattn_score_blockwise(
+    images,
+    captions,
+    img_mask,
+    cap_mask,
+    segment: int = 128,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "prob",
+):
+    """Memory-bounded all-pairs local similarity for evaluation.
+
+    TPU-native replacement for the reference's serial host loop over 8x8
+    blocks (model/loss.py:73-103): the image axis is scanned in blocks of
+    `segment` on device, each block computing its full row of the similarity
+    matrix in one fused kernel. Wrap in shard_map to split blocks across a
+    mesh (see parallel/sharded_eval.py).
+
+    `images` rows must be a multiple of `segment` (pad + trim at the caller).
+    """
+    n_img = images.shape[0]
+    assert n_img % segment == 0, (n_img, segment)
+    n_blocks = n_img // segment
+
+    img_blocks = images.reshape(n_blocks, segment, *images.shape[1:])
+    mask_blocks = img_mask.reshape(n_blocks, segment, img_mask.shape[1])
+
+    def block_fn(carry, blk):
+        imgs, masks = blk
+        sims = xattn_score(
+            imgs, captions, masks, cap_mask, lambda_softmax, focal_type
+        )
+        return carry, sims
+
+    _, sims = jax.lax.scan(block_fn, None, (img_blocks, mask_blocks))
+    return sims.reshape(n_img, captions.shape[0])

@@ -1,0 +1,69 @@
+"""JSON/JSONL IO and small dict helpers.
+
+Covers the utility surface of the reference's utils/util.py:120-147
+(read/write json and jsonl), :139 (merge_dicts), :16
+(replace_nested_dict_item) and utils/util.py flat_list_of_lists.
+"""
+from __future__ import annotations
+
+import json
+from collections import OrderedDict
+from pathlib import Path
+from typing import Any, Iterable
+
+
+def read_json(fname) -> dict:
+    fname = Path(fname)
+    with fname.open("rt") as handle:
+        return json.load(handle, object_hook=OrderedDict)
+
+
+def write_json(content, fname) -> None:
+    fname = Path(fname)
+    with fname.open("wt") as handle:
+        json.dump(content, handle, indent=4, sort_keys=False)
+
+
+def load_json(filename) -> Any:
+    with open(filename, "r") as f:
+        return json.load(f)
+
+
+def save_json(data, filename, save_pretty=False, sort_keys=False) -> None:
+    with open(filename, "w") as f:
+        if save_pretty:
+            f.write(json.dumps(data, indent=4, sort_keys=sort_keys))
+        else:
+            json.dump(data, f)
+
+
+def load_jsonl(filename) -> list:
+    with open(filename, "r") as f:
+        return [json.loads(line.strip("\n")) for line in f.readlines()]
+
+
+def save_jsonl(data: Iterable, filename) -> None:
+    with open(filename, "w") as f:
+        f.write("\n".join(json.dumps(e) for e in data))
+
+
+def merge_dicts(list_dicts: list) -> dict:
+    merged_dict = list_dicts[0].copy()
+    for i in range(1, len(list_dicts)):
+        merged_dict.update(list_dicts[i])
+    return merged_dict
+
+
+def flat_list_of_lists(l: list) -> list:
+    """flatten a list of lists [[1,2], [3,4]] to [1,2,3,4]"""
+    return [item for sublist in l for item in sublist]
+
+
+def replace_nested_dict_item(obj: dict, key, replace_value) -> dict:
+    """Recursively replace every value stored under `key` in a nested dict."""
+    for k, v in obj.items():
+        if isinstance(v, dict):
+            obj[k] = replace_nested_dict_item(v, key, replace_value)
+    if key in obj:
+        obj[key] = replace_value
+    return obj
