@@ -1,0 +1,269 @@
+"""Region (object) tower: a ViT-B-shaped encoder over detector region features
+with divided space-time attention.
+
+Behavior spec (reference model/object_transformer.py):
+  * input (B, F, K, 2054): 2048-d appearance + 6-d normalized bbox geometry,
+    embedded by two Linears and summed (:400-408)
+  * CLS token prepended; additive mask (m-1)*100 (:413-421)
+  * positions: custom_pos_embed[0] on CLS only + per-frame temporal embeds
+    repeated across the K regions of each frame (:423-432). The spatial rows
+    custom_pos_embed[1:] exist in the checkpoint but are never added — kept
+    that way for parity.
+  * 12 SpaceTimeBlocks: optional time attention (same-region tokens across
+    frames) then space attention (regions within a frame), with CLS attending
+    globally and CLS keys/values visible to every group (:125-274)
+  * residual quirk preserved: the space branch adds to the ORIGINAL x, not to
+    the time residual ("frozen-in-time" style, :266-267)
+  * the final self.norm LayerNorm is defined but never applied by
+    forward_features (:437-447) — we do not create it
+  * output projected to 256-d with a bias-free Linear; returns (proj, mask)
+
+TPU-native design notes: the einops-rearrange gymnastics of the reference
+become static reshapes/transposes on (B, heads, groups, len, head_dim)
+blocks; every attention is a batched MXU matmul with additive-bias masking,
+fused by XLA. Sequence lengths are tiny (<=241), so the win is batching, not
+flash-attention. Attention can optionally route through the Pallas fused
+kernel (ops/pallas_attention.py) via `attn_impl='pallas'`.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from demovlp_tpu.models.layers import LayerNormFp32, Mlp, trunc_normal_init
+from demovlp_tpu.ops.masking import additive_mask
+
+
+def _grouped_attention(q, k, v, bias):
+    """softmax(q k^T + bias) v over the last-but-one axis.
+
+    q: (..., Lq, hd), k/v: (..., Lk, hd), bias broadcastable to (..., Lq, Lk).
+    Computed in fp32 for softmax stability, cast back to q.dtype.
+    """
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+
+class VarAttention(nn.Module):
+    """Divided space/time attention with a globally-attending CLS token
+    (reference object_transformer.py:125-196)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    zero_init: bool = False  # reference 'zeros' initialize mode (:142-148)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, add_mask, mode: str, frames: int, patches: int):
+        assert mode in ("space", "time")
+        B, N1, D = x.shape
+        F, K = frames, patches
+        assert N1 == 1 + F * K, (N1, F, K)
+        h = self.num_heads
+        hd = D // h
+
+        if self.zero_init:
+            qkv_kernel_init = nn.initializers.zeros
+            proj_kernel_init = nn.initializers.ones  # reference :147
+        else:
+            qkv_kernel_init = nn.initializers.lecun_normal()
+            proj_kernel_init = nn.initializers.lecun_normal()
+
+        qkv = nn.Dense(
+            3 * D,
+            use_bias=self.qkv_bias,
+            kernel_init=qkv_kernel_init,
+            dtype=self.dtype,
+            name="qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(t):
+            return t.reshape(B, N1, h, hd).transpose(0, 2, 1, 3)  # (B,h,N1,hd)
+
+        q, k, v = map(to_heads, (q, k, v))
+        q = q * (hd ** -0.5)
+
+        mask = add_mask.astype(jnp.float32)  # (B, N1) additive
+
+        # --- CLS attends over the full sequence ---
+        cls_out = _grouped_attention(
+            q[:, :, :1], k, v, mask[:, None, None, :]
+        )  # (B,h,1,hd)
+
+        # --- grouped attention for the non-CLS tokens ---
+        q_, k_, v_ = q[:, :, 1:], k[:, :, 1:], v[:, :, 1:]
+        m_ = mask[:, 1:].reshape(B, F, K)
+
+        if mode == "space":
+            # groups = frames, members = the K regions of the frame
+            G, L = F, K
+            def grp(t):
+                return t.reshape(B, h, F, K, hd)
+            m_g = m_
+        else:
+            # groups = region index, members = that region across F frames
+            G, L = K, F
+            def grp(t):
+                return t.reshape(B, h, F, K, hd).transpose(0, 1, 3, 2, 4)
+            m_g = m_.transpose(0, 2, 1)
+
+        qg, kg, vg = map(grp, (q_, k_, v_))  # (B,h,G,L,hd)
+
+        # CLS keys/values are visible to every group (reference :173-180)
+        cls_k = jnp.broadcast_to(k[:, :, :1][:, :, None], (B, h, G, 1, hd))
+        cls_v = jnp.broadcast_to(v[:, :, :1][:, :, None], (B, h, G, 1, hd))
+        cls_m = jnp.broadcast_to(mask[:, :1][:, :, None], (B, G, 1))
+
+        kg = jnp.concatenate([cls_k, kg], axis=3)  # (B,h,G,1+L,hd)
+        vg = jnp.concatenate([cls_v, vg], axis=3)
+        mg = jnp.concatenate([cls_m, m_g], axis=2)  # (B,G,1+L)
+
+        out = _grouped_attention(qg, kg, vg, mg[:, None, :, None, :])  # (B,h,G,L,hd)
+
+        if mode == "time":
+            out = out.transpose(0, 1, 3, 2, 4)  # (B,h,F,K,hd)
+        out = out.reshape(B, h, F * K, hd)
+        out = jnp.concatenate([cls_out, out], axis=2)  # (B,h,N1,hd)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N1, D)
+
+        return nn.Dense(
+            D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"
+        )(out)
+
+
+class SpaceTimeBlock(nn.Module):
+    """Pre-norm block: [optional time attention] -> space attention -> MLP
+    (reference object_transformer.py:199-274)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    time_module: Optional[str] = None
+    time_init: str = "rand"
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, add_mask, frames: int, patches: int, deterministic: bool = True):
+        if self.time_module == "timeattn":
+            t = VarAttention(
+                self.dim,
+                self.num_heads,
+                self.qkv_bias,
+                zero_init=(self.time_init == "zeros"),
+                dtype=self.dtype,
+                name="timeattn",
+            )(LayerNormFp32(name="norm3")(x), add_mask, "time", frames, patches)
+            time_residual = x + t
+        else:
+            time_residual = x
+        s = VarAttention(
+            self.dim, self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
+        )(LayerNormFp32(name="norm1")(time_residual), add_mask, "space", frames, patches)
+        # residual from the ORIGINAL x (frozen-in-time), reference :266-267
+        space_residual = x + s
+        m = Mlp(
+            int(self.dim * self.mlp_ratio),
+            dropout_rate=self.dropout_rate,
+            dtype=self.dtype,
+            name="mlp",
+        )(LayerNormFp32(name="norm2")(space_residual), deterministic=deterministic)
+        return space_residual + m
+
+
+class ObjectTransformer(nn.Module):
+    """Region tower (reference object_transformer.py:296-452)."""
+
+    input_dim: int = 2054
+    region_nums: int = 20  # K (used only for the pos-embed param shape)
+    num_frames: int = 4  # max frames (temporal embed param shape)
+    output_dim: int = 256
+    time_module: Optional[str] = None
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    time_init: str = "rand"
+    appearance_dim: int = 2048
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+    remat: bool = False  # jax.checkpoint each block (memory/flops trade)
+
+    @nn.compact
+    def __call__(self, x, x_mask, deterministic: bool = True):
+        """x: (B, F, K, input_dim) region features; x_mask: (B, F, K) binary.
+
+        Returns (embeddings (B, 1+F*K, output_dim), additive_mask (B, 1+F*K)).
+        """
+        B, F, K, C = x.shape
+        D = self.embed_dim
+        x = x.astype(self.dtype)
+
+        appearance = x[..., : self.appearance_dim]
+        geometry = x[..., self.appearance_dim:]
+        tokens = nn.Dense(D, dtype=self.dtype, name="object_embedding")(appearance)
+        tokens = tokens + nn.Dense(D, dtype=self.dtype, name="pos_embedding")(geometry)
+        tokens = tokens.reshape(B, F * K, D)
+
+        cls_token = self.param(
+            "cls_token", trunc_normal_init(0.02), (1, 1, D), jnp.float32
+        )
+        # (K+1, D): row 0 is the CLS position embed; rows 1: are never added
+        # (reference :423-432) but kept in the checkpoint layout
+        custom_pos_embed = self.param(
+            "custom_pos_embed",
+            trunc_normal_init(0.02),
+            (1, self.region_nums + 1, D),
+            jnp.float32,
+        )
+        temporal_embed = self.param(
+            "temporal_embed", nn.initializers.zeros, (1, self.num_frames, D), jnp.float32
+        )
+
+        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
+        h = jnp.concatenate([cls, tokens], axis=1)  # (B, 1+F*K, D)
+
+        mask = jnp.concatenate(
+            [jnp.ones((B, 1), x_mask.dtype), x_mask.reshape(B, F * K)], axis=1
+        )
+        add_mask = additive_mask(mask)  # (B, 1+F*K), 0 / -100
+
+        # temporal embed tiled within each frame: [t0]*K ++ [t1]*K ++ ...
+        tile_temporal = jnp.repeat(
+            temporal_embed[:, :F, :], K, axis=1
+        )  # (1, F*K, D)
+        pos = jnp.concatenate(
+            [custom_pos_embed[:, :1, :], tile_temporal], axis=1
+        )  # (1, 1+F*K, D)
+        h = h + pos.astype(self.dtype)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+
+        block_cls = SpaceTimeBlock
+        if self.remat:
+            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3, 4))
+        for i in range(self.depth):
+            h = block_cls(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                self.qkv_bias,
+                time_module=self.time_module,
+                time_init=self.time_init,
+                dropout_rate=self.dropout_rate,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(h, add_mask, F, K, deterministic)
+
+        out = nn.Dense(
+            self.output_dim, use_bias=False, dtype=self.dtype, name="proj"
+        )(h)
+        return out, add_mask
