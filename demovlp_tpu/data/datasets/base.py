@@ -1,0 +1,137 @@
+"""Abstract region dataset.
+
+Spec: reference base/base_dataset.py (env-var expansion of dirs :32-34,
+frame sampling :82-101) plus the per-dataset __getitem__ skeleton
+(MSRVTT_dataset.py:124-170): existence check on {dir}/0.npz, <2 frame files
+=> pick another sample, rand (train) / midpoint (eval) frame sampling, and
+the shared top-K region pipeline. Bad samples are swapped for a random other
+item like the reference, but with a bounded retry count and an explicit
+counter (self.resample_count) instead of unbounded recursion.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from demovlp_tpu.data.regions import read_video_regions
+from demovlp_tpu.data.sampling import sample_frame_indices
+
+_MAX_RETRIES = 20
+
+
+class RegionDataset:
+    def __init__(
+        self,
+        dataset_name: str,
+        text_params: Optional[dict] = None,
+        object_params: Optional[dict] = None,
+        data_dir: str = "",
+        object_dir: str = "",
+        metadata_dir: Optional[str] = None,
+        split: str = "train",
+        tsfms=None,
+        cut: Optional[str] = None,
+        subsample: float = 1,
+        sliding_window_stride: int = -1,
+        reader: str = "cv2",
+        mask: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset_name = dataset_name
+        self.text_params = text_params or {}
+        self.object_params = object_params or {}
+        self.data_dir = os.path.expandvars(data_dir)
+        self.object_dir = os.path.expandvars(object_dir)
+        self.metadata_dir = (
+            os.path.expandvars(metadata_dir) if metadata_dir is not None else self.data_dir
+        )
+        self.split = split
+        self.transforms = tsfms
+        self.cut = cut
+        self.subsample = subsample
+        self.sliding_window_stride = sliding_window_stride
+        self.reader = reader
+        self.mask = mask
+        self.segments = int(self.object_params.get("num_frames", 4))
+        self.object_num = int(self.object_params.get("object_num", 20))
+        self.seed = seed
+        self.resample_count = 0
+        self.label_type = "caption"
+        self._load_metadata()
+
+    # ---- subclass hooks -------------------------------------------------
+    def _load_metadata(self):
+        raise NotImplementedError
+
+    def _num_samples(self) -> int:
+        return len(self.metadata)
+
+    def _object_path(self, index: int) -> str:
+        """Absolute path of the per-video region directory (or file)."""
+        raise NotImplementedError
+
+    def _text(self, index: int, rng: np.random.Generator):
+        """Caption / question / options for the sample."""
+        raise NotImplementedError
+
+    def _extras(self, index: int) -> Dict[str, Any]:
+        """Task-specific fields (label, question_id, mc_id...)."""
+        return {}
+
+    # ---- shared mechanics ------------------------------------------------
+    def __len__(self) -> int:
+        return self._num_samples()
+
+    def _frame_indices(self, vlen: int, rng: np.random.Generator):
+        if self.split == "train":
+            return sample_frame_indices(self.segments, vlen, "rand", rng)
+        return sample_frame_indices(self.segments, vlen, "uniform")
+
+    def _load_objects(self, index: int, rng: np.random.Generator):
+        """Returns (object, mask, lens) or None if the sample is unreadable."""
+        object_fp = self._object_path(index)
+        if not os.path.exists(os.path.join(object_fp, "0.npz")):
+            return None
+        vlen = len(os.listdir(object_fp))
+        if vlen < 2:
+            return None
+        try:
+            frame_idxs = self._frame_indices(vlen, rng)
+            return read_video_regions(object_fp, frame_idxs, self.object_num)
+        except Exception:
+            return None
+
+    def __getitem__(self, item: int) -> Dict[str, Any]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, item & 0x7FFFFFFF])
+        )
+        return self.get_item(item, rng)
+
+    def get_item(self, item: int, rng: np.random.Generator) -> Dict[str, Any]:
+        item = item % len(self)
+        for _ in range(_MAX_RETRIES):
+            loaded = self._load_objects(item, rng)
+            if loaded is not None:
+                break
+            # reference behavior: silently substitute a random other sample
+            self.resample_count += 1
+            item = int(rng.integers(0, len(self)))
+        else:
+            raise RuntimeError(
+                f"{self.dataset_name}: no readable sample after {_MAX_RETRIES} tries"
+            )
+        obj, obj_mask, obj_len = loaded
+        data = {
+            "object": obj,
+            "object_mask": obj_mask,
+            "object_len": obj_len,
+            "text": self._text(item, rng),
+            "meta": {
+                "paths": self._object_path(item),
+                "dataset": self.dataset_name,
+            },
+        }
+        data.update(self._extras(item))
+        return data

@@ -1,0 +1,201 @@
+"""Host-side input pipeline: sharded sampling, threaded prefetch, fixed-shape
+numpy batches.
+
+TPU-native replacement for the reference's torch DataLoader +
+DistributedSampler stack (base/base_data_loader.py): each JAX *process*
+(host) reads only its strided slice of the per-epoch permutation
+(DistributedSampler semantics with drop_last=True, :23-28), a thread pool
+overlaps npz IO with device compute, and every batch has identical shapes so
+the jitted train step never recompiles.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from demovlp_tpu.data.datasets import dataset_object_loader
+from demovlp_tpu.data.transforms import init_transform_dict
+
+
+def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack per-sample dicts into a fixed-shape numpy batch."""
+    batch: Dict[str, Any] = {
+        "object": np.stack([it["object"] for it in items]).astype(np.float32),
+        "object_mask": np.stack([it["object_mask"] for it in items]).astype(
+            np.float32
+        ),
+        "text": [it["text"] for it in items],
+        "meta": [it["meta"] for it in items],
+    }
+    if "label" in items[0]:
+        batch["label"] = np.asarray([it["label"] for it in items], dtype=np.int32)
+    if "question_id" in items[0]:
+        batch["question_id"] = np.asarray(
+            [it["question_id"] for it in items], dtype=np.int64
+        )
+    if "mc_id" in items[0]:
+        batch["mc_id"] = [it["mc_id"] for it in items]
+    return batch
+
+
+class RegionDataLoader:
+    """Iterates fixed-shape batches of one host's shard of a dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        drop_last: bool = True,
+        seed: int = 0,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+        self.n_samples = len(dataset)
+        self.dataset_name = getattr(dataset, "dataset_name", type(dataset).__name__)
+
+    # reference API parity: sampler.set_epoch(epoch)
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _host_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        # per-host equal share, excess dropped (DistributedSampler drop_last)
+        per_host = n // self.process_count
+        if per_host == 0:
+            raise ValueError(
+                f"dataset of {n} samples cannot be split over "
+                f"{self.process_count} hosts"
+            )
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch])
+            )
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        order = order[: per_host * self.process_count]
+        return order[self.process_index :: self.process_count]
+
+    def __len__(self) -> int:
+        per_host = self.n_samples // self.process_count
+        if self.drop_last:
+            return per_host // self.batch_size
+        return -(-per_host // self.batch_size)
+
+    def _fetch(self, idx: int) -> Dict[str, Any]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, int(idx)])
+        )
+        return self.dataset.get_item(int(idx), rng)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        indices = self._host_indices()
+        nb = len(indices) // self.batch_size
+        tail = len(indices) % self.batch_size
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        if tail and not self.drop_last:
+            batches.append(indices[nb * self.batch_size :])
+        if not batches:
+            return iter(())
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for batch_idx in batches:
+                    items = list(pool.map(self._fetch, batch_idx))
+                    out_q.put(collate(items))
+            out_q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
+        def gen():
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                yield item
+            thread.join()
+
+        return gen()
+
+
+class MultiDistTextObjectVideoDataLoader(RegionDataLoader):
+    """Config-surface-compatible constructor (same kwargs as the reference's
+    MultiDistTextObjectVideoDataLoader, data_loader/data_loader.py:68-101)."""
+
+    def __init__(
+        self,
+        dataset_name: str,
+        text_params: dict,
+        object_params: dict,
+        data_dir: str = "",
+        object_dir: str = "",
+        metadata_dir: Optional[str] = None,
+        split: str = "train",
+        tsfm_params: Optional[dict] = None,
+        cut: Optional[str] = None,
+        subsample: float = 1,
+        sliding_window_stride: int = -1,
+        reader: str = "cv2",
+        batch_size: int = 1,
+        num_workers: int = 1,
+        shuffle: bool = True,
+        args: Any = None,  # parity slot; unused (mesh replaces rank plumbing)
+        drop_last: Optional[bool] = None,
+        seed: int = 0,
+    ):
+        tsfm_dict = init_transform_dict(**(tsfm_params or {}))
+        dataset = dataset_object_loader(
+            dataset_name,
+            text_params=text_params,
+            object_params=object_params,
+            data_dir=data_dir,
+            object_dir=object_dir,
+            metadata_dir=metadata_dir,
+            split=split,
+            tsfms=tsfm_dict.get(split),
+            cut=cut,
+            subsample=subsample,
+            sliding_window_stride=sliding_window_stride,
+            reader=reader,
+        )
+        if split != "train":
+            shuffle = False
+        if drop_last is None:
+            drop_last = split == "train"
+        super().__init__(
+            dataset,
+            batch_size=batch_size,
+            shuffle=shuffle,
+            num_workers=num_workers,
+            drop_last=drop_last,
+            seed=seed,
+        )
