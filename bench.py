@@ -1,0 +1,97 @@
+"""Headline benchmark: pre-training video-text pairs/sec/chip.
+
+Measures the full SPMD train step (both towers forward+backward + AdamW) on
+the reference's pre-train envelope — 1 frame x 30 regions, per-chip batch 128,
+global+local (RWA) contrastive loss, ViT-B region tower + DistilBERT
+(configs/pt/o2t-cl-local-select-loss-cc.json:38,66,106-107).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.json "published": {}),
+so vs_baseline is reported against this framework's round-1 recorded number
+once one exists; until then 1.0.
+
+Env knobs: BENCH_BATCH (default 128), BENCH_FRAMES (1), BENCH_REGIONS (30),
+BENCH_STEPS (10), BENCH_DTYPE (bfloat16|float32, default bfloat16).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+ROUND1_PAIRS_PER_SEC = None  # filled by later rounds from BENCH_r1.json
+
+
+def main() -> None:
+    import jax
+
+    from demovlp_tpu.losses import GlobalLocalLoss
+    from demovlp_tpu.models import ObjectRelation
+    from demovlp_tpu.parallel import create_mesh
+    from demovlp_tpu.parallel.mesh import shard_batch
+    from demovlp_tpu.train import make_optimizer
+    from demovlp_tpu.train.state import TrainState
+    from demovlp_tpu.train.steps import make_retrieval_train_step
+
+    b = int(os.environ.get("BENCH_BATCH", 128))
+    f = int(os.environ.get("BENCH_FRAMES", 1))
+    k = int(os.environ.get("BENCH_REGIONS", 30))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    n_dev = len(jax.devices())
+    mesh = create_mesh()
+    model = ObjectRelation(object_num=k, num_frames=f, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    gen = np.random.RandomState(0)
+    global_b = b * n_dev
+    batch = {
+        "input_ids": gen.randint(1, 30000, size=(global_b, 100)).astype(np.int32),
+        "attention_mask": np.ones((global_b, 100), np.int32),
+        "object": gen.randn(global_b, f, k, 2054).astype(np.float32),
+        "object_mask": np.ones((global_b, f, k), np.float32),
+    }
+    params = model.init(rng, batch)
+    loss = GlobalLocalLoss(
+        use_local=True, use_global=True, coef=1.0, focal_type="equal"
+    )
+    tx = make_optimizer(lr=1e-5)
+    state = TrainState.create(params, tx)
+    step = make_retrieval_train_step(model, loss, tx, mesh)
+    sb = shard_batch(batch, mesh)
+
+    # warmup (compile + 2 steps)
+    state, m = step(state, sb, 1e-5, rng)
+    state, m = step(state, sb, 1e-5, rng)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, sb, 1e-5, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = global_b * steps / dt
+    per_chip = pairs_per_sec / n_dev
+    vs = per_chip / ROUND1_PAIRS_PER_SEC if ROUND1_PAIRS_PER_SEC else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "pretrain_pairs_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": f"pairs/s/chip (b={b},f={f},k={k},{dtype_name})",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

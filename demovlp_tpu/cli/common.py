@@ -1,0 +1,136 @@
+"""Shared entry-point assembly: config -> mesh -> model/loss/metrics/loaders.
+
+Mirrors the reference entry-point skeleton (train_dist_multi.py:20-90):
+tokenizer, train + val dataloaders (with the split/cut swap rules at
+init_dataloaders :93-128), model, loss, metrics, optimizer, writer,
+visualizer — but the NCCL rendezvous (:33-38) becomes mesh construction.
+"""
+from __future__ import annotations
+
+import copy
+import logging
+from typing import List, Tuple
+
+import jax
+
+from demovlp_tpu.config import ConfigParser
+from demovlp_tpu.data.tokenizer import build_tokenizer
+from demovlp_tpu.models.distilbert import DistilBertConfig
+from demovlp_tpu.parallel import create_mesh, setup_distributed
+from demovlp_tpu.train.optim import make_optimizer
+from demovlp_tpu.utils.writer import MetricsWriter
+from demovlp_tpu import registry
+
+logger = logging.getLogger(__name__)
+
+
+def build_mesh(config: ConfigParser):
+    setup_distributed()
+    model_axis = int(config.get("mesh", {}).get("model", 1))
+    return create_mesh(model=model_axis)
+
+
+def build_model(config: ConfigParser, mesh=None):
+    """Construct the arch from its config section, translating the reference's
+    nested object_params/text_params into the flax module's flat fields."""
+    arch = config["arch"]
+    args = arch.get("args", {})
+    obj_p = args.get("object_params", {})
+    txt_p = args.get("text_params", {})
+    kwargs = dict(
+        object_num=int(obj_p.get("object_num", 30)),
+        num_frames=int(obj_p.get("num_frames", 4)),
+        time_module=obj_p.get("time_module") or None,
+        projection_dim=int(args.get("projection_dim", 256)),
+    )
+    if "num_label" in obj_p:
+        kwargs["num_label"] = int(obj_p["num_label"])
+    for src, dst in (
+        ("embed_dim", "object_embed_dim"),
+        ("depth", "object_depth"),
+        ("heads", "object_heads"),
+    ):
+        if src in obj_p:
+            kwargs[dst] = int(obj_p[src])
+    text_cfg_overrides = txt_p.get("config", {})
+    if text_cfg_overrides:
+        kwargs["text_config"] = DistilBertConfig(**text_cfg_overrides)
+    dtype = config.get("precision", {}).get("compute", "float32")
+    if dtype != "float32":
+        import jax.numpy as jnp
+
+        kwargs["dtype"] = getattr(jnp, dtype)
+    if config.get("remat"):
+        kwargs["remat"] = True
+    registry._populate()
+    ctor = registry.lookup("arch", arch["type"])
+    # QA arch requires num_label; retrieval/MC ignore it
+    if "num_label" in kwargs and arch["type"] != "ObjectQARelation":
+        kwargs.pop("num_label")
+    model = ctor(**kwargs)
+    return model
+
+
+def build_loss(config: ConfigParser):
+    return config.initialize("loss")
+
+
+def build_metrics(config: ConfigParser) -> List:
+    registry._populate()
+    return [registry.lookup("metric", name) for name in config["metrics"]]
+
+
+def build_optimizer(config: ConfigParser):
+    opt_args = dict(config["optimizer"].get("args", {}))
+    lr = float(opt_args.pop("lr", 1e-5))
+    return make_optimizer(lr=lr, **opt_args)
+
+
+def init_dataloaders(config: ConfigParser, val_split: str = "val") -> Tuple[List, List]:
+    """Train loaders from the config (list or single), and val loaders with
+    the reference's swap rules (train_dist_multi.py:93-128): split->val,
+    CC3M subsampled to 1%, LSMDC MC gets split 'val' batch 1."""
+    train_loaders = config.initialize_list("data_loader")
+
+    section = config["data_loader"]
+    sections = section if isinstance(section, list) else [section]
+    val_loaders = []
+    for i, sec in enumerate(sections):
+        new_sec = copy.deepcopy(dict(sec))
+        new_args = new_sec.get("args", {})
+        new_args["split"] = val_split
+        new_args["shuffle"] = False
+        dataset_name = new_args.get("dataset_name", "")
+        if dataset_name == "ConceptualCaptions3MObjectSelect":
+            new_args["subsample"] = 0.01
+        if dataset_name == "LSMDCMCObjectSelect":
+            new_args["split"] = "val"
+            new_args["batch_size"] = 1
+        registry._populate()
+        ctor = registry.lookup("data_loader", new_sec["type"])
+        val_loaders.append(ctor(**new_args))
+    return train_loaders, val_loaders
+
+
+def build_writer(config: ConfigParser):
+    if jax.process_index() != 0:
+        return None
+    return MetricsWriter(config.log_dir)
+
+
+def build_visualizer(config: ConfigParser):
+    vis_cfg = config.get("visualizer", {}) or {}
+    if not vis_cfg.get("type"):
+        return None
+    return config.initialize(
+        "visualizer",
+        exp_name=config["name"],
+        web_dir=str(config.web_log_dir),
+    )
+
+
+def build_tokenizer_from_config(config: ConfigParser):
+    model_path = (
+        config["arch"].get("args", {}).get("text_params", {}).get("model", "")
+    )
+    return build_tokenizer(model_path)

@@ -49,6 +49,9 @@ class ObjectRelation(nn.Module):
     time_module: Optional[str] = None
     projection_dim: int = 256
     text_config: DistilBertConfig = DistilBertConfig()
+    object_embed_dim: int = 768
+    object_depth: int = 12
+    object_heads: int = 12
     dtype: Any = jnp.float32
     remat: bool = False
 
@@ -62,6 +65,9 @@ class ObjectRelation(nn.Module):
             num_frames=self.num_frames,
             output_dim=self.projection_dim,
             time_module=self.time_module or None,
+            embed_dim=self.object_embed_dim,
+            depth=self.object_depth,
+            num_heads=self.object_heads,
             dtype=self.dtype,
             remat=self.remat,
             name="object_model",
@@ -102,6 +108,9 @@ class ObjectQARelation(nn.Module):
     time_module: Optional[str] = None
     projection_dim: int = 256
     text_config: DistilBertConfig = DistilBertConfig()
+    object_embed_dim: int = 768
+    object_depth: int = 12
+    object_heads: int = 12
     dtype: Any = jnp.float32
     remat: bool = False
 
@@ -115,6 +124,9 @@ class ObjectQARelation(nn.Module):
             num_frames=self.num_frames,
             output_dim=self.projection_dim,
             time_module=self.time_module or None,
+            embed_dim=self.object_embed_dim,
+            depth=self.object_depth,
+            num_heads=self.object_heads,
             dtype=self.dtype,
             remat=self.remat,
             name="object_model",

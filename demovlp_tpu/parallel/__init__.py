@@ -1,0 +1,17 @@
+from demovlp_tpu.parallel.mesh import (
+    create_mesh,
+    setup_distributed,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
+
+__all__ = [
+    "create_mesh",
+    "setup_distributed",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "sharded_local_sims",
+]

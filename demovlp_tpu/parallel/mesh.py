@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's entire distributed substrate
+(NCCL process groups at train_dist_multi.py:33-38, DistributedSampler,
+DDP wrap, the 13 eval all_gather sites in trainer/trainer_dist.py):
+
+  * one `jax.sharding.Mesh` with ('data', 'model') axes; data parallelism is
+    sharding the batch axis, XLA inserts the gradient reductions over ICI.
+  * the 'model' axis defaults to 1 (the reference has no TP and the model is
+    ~200M params), but every sharding in the framework is written against the
+    mesh so scaling it up later is a config change, not a rewrite.
+  * multi-host: `jax.distributed.initialize` once; each host feeds its data
+    shard (see data/loader.py) and the same jitted step runs SPMD.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def setup_distributed() -> None:
+    """Initialize multi-host JAX if a coordinator is configured (no-op on a
+    single host). The env-var contract replaces MASTER_ADDR/PORT/RANK:
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID."""
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+
+
+def create_mesh(
+    data: Optional[int] = None, model: int = 1, devices=None
+) -> Mesh:
+    """('data', 'model') mesh over all (or the given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device_put each array leaf with its batch axis split over 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

@@ -1,0 +1,86 @@
+"""Mesh-sharded all-pairs local-similarity evaluation.
+
+Replaces the reference's serial single-device 8x8 host loop
+(model/loss.py:73-103, N^2/64 kernel launches with host round-trips): the
+gallery (video) axis is padded and split over the mesh's 'data' axis with
+shard_map; each device scans its row block against the full (replicated)
+caption set with the fused xattn kernel; the assembled matrix comes back
+sharded and is gathered once.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from demovlp_tpu.ops.xattn import xattn_score_blockwise
+from demovlp_tpu.parallel.mesh import DATA_AXIS
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+def sharded_local_sims(
+    img_feats,
+    lang_feats,
+    img_mask,
+    lang_mask,
+    mesh: Mesh,
+    segment: int = 64,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "prob",
+) -> np.ndarray:
+    """Full (n_videos, n_texts) local similarity matrix on the mesh.
+
+    Args (host numpy or jax arrays):
+      img_feats (Ni, R, D), lang_feats (Nc, W, D),
+      img_mask additive (Ni, R), lang_mask additive (Nc, W)
+    """
+    img_feats = np.asarray(img_feats, dtype=np.float32)
+    lang_feats = np.asarray(lang_feats, dtype=np.float32)
+    img_mask = np.asarray(img_mask, dtype=np.float32)
+    lang_mask = np.asarray(lang_mask, dtype=np.float32)
+
+    n_img = img_feats.shape[0]
+    n_dev = mesh.shape[DATA_AXIS]
+    # pad the gallery axis so each device gets an equal multiple of `segment`
+    per_dev = -(-n_img // (n_dev * segment)) * segment
+    # pad masks with -100 (all-padded row) so fake galleries are inert
+    total = per_dev * n_dev
+    img_feats_p = _pad_to(img_feats, total)
+    img_mask_p = np.full((total, img_mask.shape[1]), -100.0, dtype=np.float32)
+    img_mask_p[:n_img] = img_mask
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            NamedSharding(mesh, P(DATA_AXIS)),
+            NamedSharding(mesh, P()),
+            NamedSharding(mesh, P(DATA_AXIS)),
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+    )
+    def compute(imgs, langs, imasks, lmasks):
+        fn = jax.shard_map(
+            lambda im, la, ima, lam: xattn_score_blockwise(
+                im, la, ima, lam,
+                segment=segment,
+                lambda_softmax=lambda_softmax,
+                focal_type=focal_type,
+            ),
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P()),
+            out_specs=P(DATA_AXIS),
+        )
+        return fn(imgs, langs, imasks, lmasks)
+
+    sims = compute(img_feats_p, lang_feats, img_mask_p, lang_mask)
+    return np.asarray(sims)[:n_img]

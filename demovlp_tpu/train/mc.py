@@ -1,0 +1,104 @@
+"""Multiple-choice trainer (eval-only; reference Multi_ObjectMCTrainer_dist,
+trainer/trainer_dist.py:704-893): each item = 1 video + 5 option texts; the
+video tensors are expanded to the option count, scored by global + local
+similarity, argmax over the 5 options. The reference merged per-rank results
+through JSON temp files and a barrier (:831-849); here every host simply
+evaluates its loader shard and results are concatenated in-process (multi-
+host merge is unnecessary because MC eval is tiny: run it on one host with
+the loader unsharded — the jitted step is replicated over the local mesh).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from demovlp_tpu.train.base_trainer import BaseTrainer
+from demovlp_tpu.train.state import create_train_state
+from demovlp_tpu.train.steps import make_mc_eval_step, prepare_batch
+
+logger = logging.getLogger(__name__)
+
+
+class MCTrainer(BaseTrainer):
+    def __init__(
+        self,
+        model,
+        loss,
+        metrics,
+        tx,
+        config,
+        mesh,
+        data_loader: List,
+        valid_data_loader: Optional[List] = None,
+        tokenizer=None,
+        writer=None,
+        visualizer=None,
+        max_samples_per_epoch: int = 50000,
+        len_epoch: Optional[int] = None,
+        rng_seed: int = 0,
+        n_options: int = 5,
+        **kwargs,
+    ):
+        super().__init__(model, loss, metrics, tx, config, mesh,
+                         writer=writer, visualizer=visualizer, **kwargs)
+        self.data_loader = data_loader
+        self.valid_data_loader = valid_data_loader or []
+        self.tokenizer = tokenizer
+        self.n_options = n_options
+        self.valid_gt_id2answer = {
+            i: dl.dataset.id2answer for i, dl in enumerate(self.valid_data_loader)
+        }
+
+        self.rng = jax.random.PRNGKey(rng_seed)
+        ds = (data_loader or valid_data_loader)[0].dataset
+        f, k = ds.segments, ds.object_num
+        sample = {
+            "input_ids": np.zeros((n_options, 100), np.int32),
+            "attention_mask": np.ones((n_options, 100), np.int32),
+            "object": np.zeros((n_options, f, k, 2054), np.float32),
+            "object_mask": np.ones((n_options, f, k), np.float32),
+        }
+        self.state = create_train_state(model, tx, sample, self.rng, mesh)
+        self._eval_step = make_mc_eval_step(model, loss, mesh, n_options)
+
+    def _train_epoch(self, epoch: int):
+        # eval-only task (reference trainer_dist.py:768 returns None)
+        return None
+
+    def _valid_epoch(self, epoch: int) -> Dict[str, Any]:
+        params = self.state.params
+        nested_metrics: Dict[int, Dict[str, Any]] = {}
+        pred_id2answer: Dict[int, Dict] = {}
+        for dl_idx, dl in enumerate(self.valid_data_loader):
+            preds: Dict = {}
+            for data in dl:
+                # batch_size 1: one video, n_options texts
+                arrays = prepare_batch(data, self.tokenizer)
+                arrays.pop("label", None)
+                n_opt = arrays["input_ids"].shape[0]
+                arrays["object"] = np.repeat(data["object"], n_opt, axis=0)
+                arrays["object_mask"] = np.repeat(data["object_mask"], n_opt, axis=0)
+                scores = np.asarray(self._eval_step(params, arrays))
+                preds[data["mc_id"][0]] = int(scores.argmax())
+            pred_id2answer[dl_idx] = preds
+
+            dl_metrics: Dict[str, Any] = {}
+            for metric in self.metrics:
+                res = metric(preds, self.valid_gt_id2answer[dl_idx])
+                if jax.process_index() == 0:
+                    print(res)
+                dl_metrics[metric.__name__] = res
+            nested_metrics[dl_idx] = dl_metrics
+        res_dict = {
+            f"val_loss_{i}": 0.0 for i in range(len(self.valid_data_loader))
+        }
+        res_dict["nested_val_metrics"] = nested_metrics
+        return res_dict
+
+    def train(self) -> Dict[str, Any]:
+        # eval-only protocol: run validation once (configs use epochs=0)
+        result = self._valid_epoch(0)
+        return self._flatten_log(0, result)

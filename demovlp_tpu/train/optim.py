@@ -1,0 +1,76 @@
+"""Optimizer + LR schedule.
+
+The reference uses transformers' AdamW (betas 0.9/0.999, eps 1e-6, no weight
+decay by default; train_dist_multi.py:58-64) with an out-of-band epoch-level
+step decay: after every epoch, lr is RESET to
+`learning_rate1 * 0.1^(#milestones passed)` where learning_rate1 comes from
+the `-lr1` CLI flag (default 2e-4) and milestones from `-sc`
+(trainer/trainer_dist.py:97-102). Net effect (preserved here, documented):
+epoch 1 runs at the config lr, later epochs at the decayed lr1 schedule.
+Set `lr_mode="config"` to decay the config lr instead (the sane variant).
+
+The learning rate is an optax injected hyperparameter: the epoch schedule
+updates `opt_state.hyperparams['learning_rate']` inside the jitted train
+step, so schedule changes never trigger recompilation.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import optax
+
+
+def step_decay_lr(
+    epoch: int,
+    base_lr: float,
+    lr1: float,
+    milestones: Sequence[int],
+    lr_mode: str = "reference",
+) -> float:
+    """LR used DURING `epoch` (1-indexed), reproducing the reference's
+    end-of-epoch reset semantics."""
+    if lr_mode == "reference":
+        if epoch <= 1:
+            return base_lr
+        lr = lr1
+        # the reset applied at the end of epoch e governs epoch e+1
+        for m in milestones:
+            if (epoch - 1) >= m:
+                lr *= 0.1
+        return lr
+    # "config": decay the config lr at the milestones
+    lr = base_lr
+    for m in milestones:
+        if epoch > m:
+            lr *= 0.1
+    return lr
+
+
+def _adamw(learning_rate, b1, b2, eps, weight_decay, max_grad_norm=None):
+    tx = optax.adamw(
+        learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
+    )
+    if max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx
+
+
+def make_optimizer(
+    lr: float = 1e-5,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.0,
+    max_grad_norm: float | None = None,
+) -> optax.GradientTransformation:
+    """AdamW matching transformers.AdamW defaults, learning rate injected."""
+    return optax.inject_hyperparams(
+        _adamw, static_args=("max_grad_norm",)
+    )(
+        learning_rate=lr,
+        b1=b1,
+        b2=b2,
+        eps=eps,
+        weight_decay=weight_decay,
+        max_grad_norm=max_grad_norm,
+    )

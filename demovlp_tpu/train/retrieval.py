@@ -1,0 +1,228 @@
+"""Retrieval trainer (reference Multi_ObjectTrainer_dist,
+trainer/trainer_dist.py:35-418).
+
+Train: zip over the (possibly multiple) train loaders, alternating one batch
+from each per step (:125-129), capped by max_samples_per_epoch (:126-128);
+tokenize -> jitted SPMD train step -> step-decay LR applied per epoch.
+
+Eval (:205-408): embed every val batch (jitted forward), assemble the full
+embedding set on host, global cosine sim matrix + blockwise local
+cross-attention sims sharded over the mesh (replacing the serial 8x8 device
+loop at model/loss.py:73-103), then the numpy retrieval metrics. The
+reference's orientation quirk is preserved exactly: the final matrix is
+global_sims(text, video) + local_sims(video, text) summed elementwise
+(trainer/trainer_dist.py:369-385), and MSCOCO-style configs dedup the
+gallery by taking every 5th video row (:365-368).
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from demovlp_tpu.parallel.mesh import shard_batch
+from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
+from demovlp_tpu.ops.similarity import sim_matrix
+from demovlp_tpu.train.base_trainer import BaseTrainer
+from demovlp_tpu.train.state import create_train_state
+from demovlp_tpu.train.steps import (
+    make_retrieval_eval_step,
+    make_retrieval_train_step,
+    pad_batch,
+    prepare_batch,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def verbose(epoch, metrics, mode, name="TEST"):
+    msg = (
+        f"[{mode}]{name:s} epoch {epoch}, R@1: {metrics['R1']:.1f}"
+        f", R@5: {metrics['R5']:.1f}, R@10 {metrics['R10']:.1f}"
+        f", R@50 {metrics['R50']:.1f}"
+        f"MedR: {metrics['MedR']:g}, MeanR: {metrics['MeanR']:.1f}"
+    )
+    print(msg)
+    return msg
+
+
+class RetrievalTrainer(BaseTrainer):
+    def __init__(
+        self,
+        model,
+        loss,
+        metrics,
+        tx,
+        config,
+        mesh,
+        data_loader: List,
+        valid_data_loader: Optional[List] = None,
+        tokenizer=None,
+        writer=None,
+        visualizer=None,
+        max_samples_per_epoch: int = 50000,
+        len_epoch: Optional[int] = None,
+        rng_seed: int = 0,
+        **kwargs,
+    ):
+        super().__init__(model, loss, metrics, tx, config, mesh,
+                         writer=writer, visualizer=visualizer, **kwargs)
+        self.data_loader = data_loader
+        self.valid_data_loader = valid_data_loader or []
+        self.do_validation = bool(self.valid_data_loader)
+        self.tokenizer = tokenizer
+        self.max_samples_per_epoch = max_samples_per_epoch
+        self.len_epoch = len_epoch or min(len(dl) for dl in data_loader)
+        self.total_batch_sum = sum(dl.batch_size for dl in data_loader)
+        self.batch_size = data_loader[0].batch_size
+        self.log_step = max(1, int(np.sqrt(self.batch_size)))
+        self.eval_segment = int(
+            config.get("eval", {}).get("local_sim_segment", 64)
+        )
+
+        self.rng = jax.random.PRNGKey(rng_seed)
+        sample = self._first_batch_template()
+        self.state = create_train_state(model, tx, sample, self.rng, mesh)
+        self._train_step = make_retrieval_train_step(model, loss, tx, mesh)
+        self._eval_step = make_retrieval_eval_step(model, loss, mesh)
+
+    # ------------------------------------------------------------------
+    def _first_batch_template(self) -> Dict[str, np.ndarray]:
+        dl = self.data_loader[0]
+        ds = dl.dataset
+        f, k = ds.segments, ds.object_num
+        b = dl.batch_size
+        return {
+            "input_ids": np.zeros((b, 100), np.int32),
+            "attention_mask": np.ones((b, 100), np.int32),
+            "object": np.zeros((b, f, k, 2054), np.float32),
+            "object_mask": np.ones((b, f, k), np.float32),
+        }
+
+    def _train_epoch(self, epoch: int) -> Dict[str, Any]:
+        lr = self.current_lr(epoch)
+        total_loss = [0.0] * len(self.data_loader)
+        n_steps = 0
+        for dl in self.data_loader:
+            dl.set_epoch(epoch)
+
+        for batch_idx, data_li in enumerate(zip(*self.data_loader)):
+            if (batch_idx + 1) * self.total_batch_sum > self.max_samples_per_epoch:
+                break
+            for dl_idx, data in enumerate(data_li):
+                arrays = prepare_batch(data, self.tokenizer)
+                arrays.pop("label", None)
+                arrays = shard_batch(arrays, self.mesh)
+                self.state, m = self._train_step(self.state, arrays, lr, self.rng)
+                if batch_idx % self.log_step == 0:
+                    loss_v = float(m["loss"])
+                    if jax.process_index() == 0:
+                        print(
+                            f"loss:{loss_v}, global_loss: {float(m['global_loss'])},"
+                            f" local_loss: {float(m['local_loss'])}"
+                        )
+                        logger.debug(
+                            "Train Epoch: %d dl%d [%d/%d] Loss: %.6f",
+                            epoch, dl_idx, batch_idx, self.len_epoch, loss_v,
+                        )
+                total_loss[dl_idx] += float(m["loss"])
+                if self.writer is not None and jax.process_index() == 0:
+                    self.writer.log_scalar(f"loss_train_{dl_idx}", float(m["loss"]))
+                n_steps += 1
+            if batch_idx == self.len_epoch:
+                break
+
+        denom = max(1, n_steps // max(1, len(self.data_loader)))
+        log = {
+            f"loss_{i}": total_loss[i] / denom for i in range(len(self.data_loader))
+        }
+        if self.do_validation:
+            val_log = self._valid_epoch(epoch)
+            log.update(val_log)
+        return log
+
+    # ------------------------------------------------------------------
+    def _valid_epoch(self, epoch: int) -> Dict[str, Any]:
+        params = self.state.params
+        res_dict: Dict[str, Any] = {}
+        nested_metrics: Dict[int, Dict[str, Any]] = {}
+
+        for dl_idx, dl in enumerate(self.valid_data_loader):
+            arrs = {
+                k: []
+                for k in (
+                    "g_t", "g_o", "l_t", "l_o", "o_mask", "t_mask", "t_len",
+                )
+            }
+            metas: List[Dict] = []
+            total_val_loss = 0.0
+            n_batches = 0
+            for data in dl:
+                metas.extend(data["meta"])
+                arrays = prepare_batch(data, self.tokenizer)
+                arrays.pop("label", None)
+                arrays, n_valid = pad_batch(arrays, dl.batch_size)
+                arrays = shard_batch(arrays, self.mesh)
+                out, (loss, g, l) = self._eval_step(params, arrays)
+                total_val_loss += float(loss)
+                n_batches += 1
+                arrs["g_t"].append(np.asarray(out["global_text_embeddings"])[:n_valid])
+                arrs["g_o"].append(
+                    np.asarray(out["global_object_embeddings"])[:n_valid]
+                )
+                arrs["l_t"].append(np.asarray(out["local_text_embeddings"])[:n_valid])
+                arrs["l_o"].append(
+                    np.asarray(out["local_object_embeddings"])[:n_valid]
+                )
+                arrs["o_mask"].append(np.asarray(out["object_mask"])[:n_valid])
+                arrs["t_mask"].append(np.asarray(out["text_mask_add"])[:n_valid])
+                arrs["t_len"].append(np.asarray(out["text_length"])[:n_valid])
+
+            cat = {k: np.concatenate(v, axis=0) for k, v in arrs.items()}
+            if str(self.config["name"]).startswith("MSCOCO"):
+                for key in ("g_o", "l_o", "o_mask"):
+                    cat[key] = cat[key][::5]
+
+            o2t_sims = np.asarray(sim_matrix(cat["g_t"], cat["g_o"]))
+            use_local = self.config["loss"]["args"].get("use_local", True)
+            if use_local:
+                local_sims = sharded_local_sims(
+                    cat["l_o"],
+                    cat["l_t"],
+                    cat["o_mask"],
+                    cat["t_mask"],
+                    self.mesh,
+                    segment=self.eval_segment,
+                    lambda_softmax=self.loss.local_loss.lambda_softmax,
+                    focal_type=self.loss.local_loss.focal_type,
+                )
+                # reference orientation quirk: (text,video) + (video,text)
+                o2t_sims = o2t_sims + local_sims
+
+            dl_metrics: Dict[str, Any] = {}
+            for metric in self.metrics:
+                res = metric(o2t_sims)
+                if jax.process_index() == 0:
+                    verbose(epoch, res, name=dl.dataset_name, mode=metric.__name__)
+                dl_metrics[metric.__name__] = res
+            nested_metrics[dl_idx] = dl_metrics
+
+            if self.visualizer is not None and jax.process_index() == 0:
+                meta_for_vis = {
+                    "paths": [m.get("paths", "") for m in metas],
+                    "raw_captions": [m.get("raw_captions", "") for m in metas],
+                }
+                self.visualizer.visualize_ranking(
+                    o2t_sims, epoch, meta_for_vis, dl_metrics
+                )
+
+            res_dict[f"val_loss_{dl_idx}"] = total_val_loss / max(1, n_batches)
+            if self.writer is not None and jax.process_index() == 0:
+                self.writer.log_scalar(
+                    f"loss_val_{dl_idx}", res_dict[f"val_loss_{dl_idx}"]
+                )
+
+        res_dict["nested_val_metrics"] = nested_metrics
+        return res_dict

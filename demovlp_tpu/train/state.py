@@ -1,0 +1,47 @@
+"""Training state: params + optimizer state + step counter, mesh-aware."""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+import optax
+
+from demovlp_tpu.parallel.mesh import replicated_sharding
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            params=params,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), dtype=jnp.int32),
+        )
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    sample_batch: dict,
+    rng: jax.Array,
+    mesh: Optional[Any] = None,
+) -> TrainState:
+    """Initialize model params on the sample batch and build the state.
+    With a mesh, params/opt_state are placed replicated (the 'model' axis is
+    1 for this family; all shardings still route through the mesh)."""
+    params = model.init(rng, sample_batch)
+    state = TrainState.create(params, tx)
+    if mesh is not None:
+        sharding = replicated_sharding(mesh)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+            state,
+        )
+    return state

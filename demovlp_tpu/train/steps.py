@@ -1,0 +1,192 @@
+"""Jitted SPMD step functions + host-side batch preparation.
+
+One compiled executable per (task, shape): the batcher guarantees fixed
+shapes, so each step function compiles once and runs every step. The batch
+is sharded over the mesh's 'data' axis; params are replicated; XLA inserts
+the gradient psum over ICI — the whole NCCL/DDP layer of the reference
+(base/base_trainer.py:30-33) reduces to these sharding annotations. Because
+the loss sees the GLOBAL batch inside jit, contrastive negatives span all
+devices — the upgrade of the reference's dormant AllGather_multi
+(trainer/trainer_dist.py:13-31).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from demovlp_tpu.ops.masking import additive_mask
+from demovlp_tpu.ops.similarity import sim_matrix
+from demovlp_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from demovlp_tpu.train.state import TrainState
+
+
+# ---------------------------------------------------------------- host side
+def prepare_batch(batch: Dict[str, Any], tokenizer, max_text_len: int = 100):
+    """Tokenize text and assemble the model's array batch (host numpy)."""
+    text = batch["text"]
+    if text and isinstance(text[0], (list, tuple)):  # MC: flatten options
+        text = [t for opts in text for t in opts]
+    enc = tokenizer(text, max_length=max_text_len)
+    arrays = {
+        "input_ids": enc["input_ids"],
+        "attention_mask": enc["attention_mask"],
+        "object": batch["object"],
+        "object_mask": batch["object_mask"],
+    }
+    if "label" in batch:
+        arrays["label"] = batch["label"]
+    return arrays
+
+
+def pad_batch(arrays: Dict[str, np.ndarray], target: int) -> Tuple[Dict, int]:
+    """Pad the batch axis to `target` rows (repeating row 0) so eval keeps a
+    single compiled shape; returns (padded, n_valid)."""
+    n = next(iter(arrays.values())).shape[0]
+    if n == target:
+        return arrays, n
+    assert n < target, (n, target)
+    out = {}
+    for k, v in arrays.items():
+        pad = np.repeat(v[:1], target - n, axis=0)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out, n
+
+
+# ------------------------------------------------------------- device side
+def _retrieval_losses(loss_obj, outputs, batch):
+    global_sim = sim_matrix(
+        outputs["global_text_embeddings"], outputs["global_object_embeddings"]
+    )
+    text_mask = additive_mask(batch["attention_mask"][:, 1:])
+    text_len = jnp.sum(batch["attention_mask"], axis=1)
+    return loss_obj(
+        global_sim,
+        outputs["local_object_embeddings"],
+        outputs["local_text_embeddings"],
+        outputs["object_mask"],
+        text_len,
+        text_mask,
+    )
+
+
+def make_retrieval_train_step(model, loss_obj, tx, mesh) -> Callable:
+    def step(state: TrainState, batch, lr, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                params, batch, deterministic=False, rngs={"dropout": rng}
+            )
+            total, g, l = _retrieval_losses(loss_obj, out, batch)
+            return total, (g, l)
+
+        (total, (g, l)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=new_opt, step=state.step + 1)
+        metrics = {"loss": total, "global_loss": g, "local_loss": l}
+        return new_state, metrics
+
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, dat, None, None),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_retrieval_eval_step(model, loss_obj, mesh) -> Callable:
+    """Forward + per-batch loss; returns the embedding dict (+losses) with
+    everything needed for metric assembly on host."""
+
+    def step(params, batch):
+        out = model.apply(params, batch, deterministic=True)
+        total, g, l = _retrieval_losses(loss_obj, out, batch)
+        out = dict(out)
+        out["text_mask_add"] = additive_mask(batch["attention_mask"][:, 1:])
+        out["text_length"] = jnp.sum(batch["attention_mask"], axis=1)
+        return out, (total, g, l)
+
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, dat), out_shardings=(dat, rep))
+
+
+def make_qa_train_step(model, loss_obj, tx, mesh) -> Callable:
+    def step(state: TrainState, batch, lr, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply(
+                params, batch, deterministic=False, rngs={"dropout": rng}
+            )
+            logits = out["logits"]
+            loss = loss_obj(logits, batch["label"])
+            correct = jnp.sum(
+                (jnp.argmax(logits, axis=-1) == batch["label"]).astype(jnp.float32)
+            )
+            return loss, correct
+
+        (loss, correct), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        updates, new_opt = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=new_opt, step=state.step + 1)
+        return new_state, {"loss": loss, "correct": correct}
+
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, dat, None, None),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_qa_eval_step(model, mesh) -> Callable:
+    def step(params, batch):
+        out = model.apply(params, batch, deterministic=True)
+        return out["logits"]
+
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, dat), out_shardings=dat)
+
+
+def make_mc_eval_step(model, loss_obj, mesh, n_options: int = 5) -> Callable:
+    """One video x n_options texts -> per-option scores (global + local sim,
+    reference trainer/trainer_dist.py:810-829). Replicated (batch=1 path)."""
+
+    def step(params, batch):
+        out = model.apply(params, batch, deterministic=True)
+        gsim = sim_matrix(
+            out["global_text_embeddings"], out["global_object_embeddings"]
+        )
+        text_mask = additive_mask(batch["attention_mask"][:, 1:])
+        lsim = loss_obj.local_loss.get_sim(
+            out["local_object_embeddings"],
+            out["local_text_embeddings"],
+            out["object_mask"],
+            None,
+            text_mask,
+        )
+        sims = gsim + lsim  # (n_opt, n_opt); row 0 = the real video
+        return sims[0]
+
+    rep = replicated_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, rep), out_shardings=rep)

@@ -140,6 +140,7 @@ def _retrieval_batch(b=2, f=2, k=4, l=8, vocab=128, seed=0):
 def _tiny_retrieval_model(**kw):
     return ObjectRelation(
         object_num=4, num_frames=2, projection_dim=16, text_config=TINY_TEXT,
+        object_embed_dim=32, object_depth=2, object_heads=4,
         **kw,
     )
 
@@ -163,7 +164,7 @@ def test_object_qa_relation_forward():
     batch = _retrieval_batch()
     model = ObjectQARelation(
         object_num=4, num_frames=2, num_label=10, projection_dim=16,
-        text_config=TINY_TEXT,
+        text_config=TINY_TEXT, object_embed_dim=32, object_depth=2, object_heads=4,
     )
     params = model.init(jax.random.PRNGKey(0), batch)
     out = model.apply(params, batch)
@@ -174,7 +175,8 @@ def test_object_qa_relation_forward():
 def test_object_mc_relation_is_object_relation():
     batch = _retrieval_batch()
     model = ObjectMCRelation(
-        object_num=4, num_frames=2, projection_dim=16, text_config=TINY_TEXT
+        object_num=4, num_frames=2, projection_dim=16, text_config=TINY_TEXT,
+        object_embed_dim=32, object_depth=2, object_heads=4,
     )
     params = model.init(jax.random.PRNGKey(0), batch)
     out = model.apply(params, batch)
