@@ -26,6 +26,11 @@ logger = logging.getLogger(__name__)
 
 def build_mesh(config: ConfigParser):
     setup_distributed()
+    backend = config.get("ops", {}).get("xattn_backend")
+    if backend:
+        from demovlp_tpu.ops import xattn
+
+        xattn.set_backend(backend)
     model_axis = int(config.get("mesh", {}).get("model", 1))
     return create_mesh(model=model_axis)
 

@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
-from demovlp_tpu.data.regions import read_video_regions
+from demovlp_tpu.data.native import read_video_regions_auto
 from demovlp_tpu.data.sampling import sample_frame_indices
 
 _MAX_RETRIES = 20
@@ -99,7 +99,8 @@ class RegionDataset:
             return None
         try:
             frame_idxs = self._frame_indices(vlen, rng)
-            return read_video_regions(object_fp, frame_idxs, self.object_num)
+            # native C++ decoder when built (10x the numpy path), else numpy
+            return read_video_regions_auto(object_fp, frame_idxs, self.object_num)
         except Exception:
             return None
 

@@ -51,52 +51,49 @@ def _pad_axis(x, axis: int, target: int, value=0.0):
 def _fa_sim_kernel(
     ctx_ref, qry_ref, cmask_ref, out_ref, *, lam, focal_equal, ls_real, lq_real
 ):
-    """One (BC, BQ) tile of sim[c, q] = mean_l cos(q_l, wctx_{c,q,l})."""
+    """One (BC, BQ) tile of sim[c, q] = mean_l cos(q_l, wctx_{c,q,l}).
+
+    Transpose-free: the context block is processed one item at a time so the
+    working set stays a (bq*lq, ls) matrix whose reductions land on natural
+    axes — l2norm over lq is a per-query-group sublane reduction, the
+    softmax/focal renorm are lane (minor-axis) reductions, and both matmuls
+    are plain 2-D MXU ops."""
     bc, ls, d = ctx_ref.shape
     bq, lq, _ = qry_ref.shape
-
-    c = ctx_ref[...]
-    q = qry_ref[...]
     eps = 1e-8
-    cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + eps)
-    qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + eps)
 
-    # raw attention: (bc*ls, bq*lq)
-    a = jnp.dot(
-        cn.reshape(bc * ls, d),
-        qn.reshape(bq * lq, d).T,
-        preferred_element_type=jnp.float32,
-    )
-    a = jnp.where(a >= 0, a, 0.1 * a)
-    # l2norm over lq: view (bc*ls*bq, lq)
-    a = a.reshape(bc * ls * bq, lq)
-    a = a / (jnp.sqrt(jnp.sum(a * a, -1, keepdims=True)) + eps)
-    # -> (bc, bq, lq, ls) with ls minor for the softmax
-    a = a.reshape(bc, ls, bq, lq).transpose(0, 2, 3, 1)
-    a = a + cmask_ref[...][:, None, None, :]
-    a = a.reshape(bc * bq * lq, ls)
-    p = jax.nn.softmax(a * lam, axis=-1)
-    if focal_equal:
-        h = ((p * ls_real - jnp.sum(p, -1, keepdims=True)) > 0).astype(p.dtype)
-        p = h * p
-        p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
-    # weighted context: (bc, bq*lq, d) via per-c matmul (bq*lq, ls)x(ls, d)
-    p = p.reshape(bc, bq * lq, ls)
-    w = jax.lax.dot_general(
-        p, cn,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (bc, bq*lq, d)
-    # cosine with the raw query, zero for zero-padded queries
+    q = qry_ref[...]
+    qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + eps)
+    qn_flat = qn.reshape(bq * lq, d)
     qf = q.reshape(bq * lq, d)
-    num = jnp.sum(w * qf[None], -1)  # (bc, bq*lq)
-    den = jnp.sqrt(jnp.sum(w * w, -1)) * jnp.sqrt(
-        jnp.sum(qf * qf, -1)
-    )[None]
-    cos = num / jnp.maximum(den, eps)
-    # mean over REAL lq
-    sim = jnp.sum(cos.reshape(bc, bq, lq), axis=-1) / lq_real
-    out_ref[...] = sim
+    q_norm = jnp.sqrt(jnp.sum(qf * qf, -1))  # (bq*lq,)
+
+    for ci in range(bc):  # static unroll over the context block
+        c = ctx_ref[ci]  # (ls, d)
+        cmask = cmask_ref[ci, 0, :]  # (ls,)
+        cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + eps)
+
+        # raw attention (bq*lq, ls): lanes = source positions
+        a = jnp.dot(qn_flat, cn.T, preferred_element_type=jnp.float32)
+        a = jnp.where(a >= 0, a, 0.1 * a)
+        # l2norm over lq: per (q, s) across the lq rows of each query group
+        sq = jnp.sum(a.reshape(bq, lq, ls) ** 2, axis=1, keepdims=True)
+        a = (a.reshape(bq, lq, ls) / (jnp.sqrt(sq) + eps)).reshape(bq * lq, ls)
+        a = a + cmask[None, :]
+        p = jax.nn.softmax(a * lam, axis=-1)
+        if focal_equal:
+            h = ((p * ls_real - jnp.sum(p, -1, keepdims=True)) > 0).astype(
+                p.dtype
+            )
+            p = h * p
+            p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
+        # weighted context (bq*lq, d) then cosine with the raw query
+        w = jnp.dot(p, cn, preferred_element_type=jnp.float32)
+        num = jnp.sum(w * qf, -1)
+        den = jnp.sqrt(jnp.sum(w * w, -1)) * q_norm
+        cos = num / jnp.maximum(den, eps)
+        sim = jnp.sum(cos.reshape(bq, lq), axis=-1) / lq_real  # (bq,)
+        out_ref[0, 0, ci, :] = sim
 
 
 def _fa_sim_pallas(
@@ -116,7 +113,9 @@ def _fa_sim_pallas(
         ls_real=ls_real,
         lq_real=lq_real,
     )
-    return pl.pallas_call(
+    # output is a (grid_i, grid_j, block_c, block_q) tile array so the block's
+    # trailing dims equal the array's (Mosaic tiling rule); callers reshape
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -129,13 +128,18 @@ def _fa_sim_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_c, ls), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (block_c, 1, ls), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (block_c, block_q), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (1, 1, block_c, block_q),
+            lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bc_total, bq_total), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0], grid[1], block_c, block_q), jnp.float32
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bc_total * bq_total * ls * lq * d * 2,
@@ -143,16 +147,22 @@ def _fa_sim_pallas(
             + bc_total * bq_total * 4,
             transcendentals=bc_total * bq_total * lq * ls,
         ),
-    )(context, query, ctx_mask)
+    )(context, query, ctx_mask[:, None, :])
+    return out.transpose(0, 2, 1, 3).reshape(bc_total, bq_total)
 
 
 def _choose_blocks(ls: int, lq: int, n_c: int, n_q: int) -> Tuple[int, int]:
-    """Pick tile sizes keeping the (bc*ls, bq*lq) fp32 buffer ~<= 2.5 MB."""
-    budget = 2_500_000 // 4
-    for bc, bq in ((8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (1, 1)):
-        if bc * ls * bq * lq <= budget and n_c % bc == 0 and n_q % bq == 0:
-            return bc, bq
-    return 1, 1
+    """Pick tile sizes: the kernel's working set is one (bq*lq, ls) fp32
+    matrix (plus a few copies), so bound bq by a ~2.4 MB budget; bc only
+    controls input-block reuse."""
+    budget = 600_000  # elements
+    bq = 1
+    for cand in (16, 8, 4, 2, 1):
+        if cand * lq * ls <= budget and n_q % cand == 0:
+            bq = cand
+            break
+    bc = 8 if n_c % 8 == 0 else (4 if n_c % 4 == 0 else 1)
+    return bc, bq
 
 
 def _direction_sim(
@@ -161,8 +171,10 @@ def _direction_sim(
     """Padded + blocked wrapper around the kernel: sim (n_ctx, n_query)."""
     n_c, ls_real, d = context.shape
     n_q, lq_real, _ = query.shape
+    # ls is the kernel's lane (minor) axis -> 128-align; lq only ever sits on
+    # sublane/row axes -> 8-align is enough (zero-padding is exact, see above)
     ls = _round_up(max(ls_real, 8), 128)
-    lq = _round_up(max(lq_real, 8), 128)
+    lq = _round_up(max(lq_real, 8), 8)
     # batch axes to a block multiple
     block_c, block_q = _choose_blocks(ls, lq, _round_up(n_c, 8), _round_up(n_q, 8))
     n_c_pad = _round_up(n_c, block_c)

@@ -29,6 +29,7 @@ Documented reference quirks that we replicate bit-for-bit:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +37,7 @@ import jax.numpy as jnp
 from demovlp_tpu.ops.masking import l2norm
 from demovlp_tpu.ops.similarity import cosine_similarity
 
-_BACKEND = "xla"  # "xla" | "pallas"
+_BACKEND = os.environ.get("DEMOVLP_XATTN_BACKEND", "xla")  # "xla" | "pallas"
 
 
 def set_backend(name: str) -> None:

@@ -1,0 +1,55 @@
+"""Pallas fused xattn kernel vs the XLA implementation (interpreter mode on
+CPU; the compiled path is exercised on real TPU by bench/e2e runs)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from demovlp_tpu.ops.xattn import _xattn_score_xla
+from demovlp_tpu.ops.pallas_xattn import (
+    xattn_score_pallas_interpret,
+    _choose_blocks,
+    _round_up,
+)
+
+
+def _inputs(ni, nc, r, w, d=32, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.randn(ni, r, d).astype(np.float32)
+    lang = rng.randn(nc, w, d).astype(np.float32)
+    imask = ((rng.rand(ni, r) > 0.2).astype(np.float32) - 1) * 100
+    lmask = ((rng.rand(nc, w) > 0.2).astype(np.float32) - 1) * 100
+    return img, lang, imask, lmask
+
+
+@pytest.mark.parametrize("focal", ["prob", "equal"])
+@pytest.mark.parametrize("shape", [(6, 5, 7, 9), (8, 8, 30, 20)])
+def test_pallas_xattn_matches_xla(shape, focal):
+    ni, nc, r, w = shape
+    img, lang, imask, lmask = _inputs(ni, nc, r, w)
+    want = np.asarray(
+        _xattn_score_xla(
+            jnp.array(img), jnp.array(lang), jnp.array(imask), jnp.array(lmask),
+            20.0, focal,
+        )
+    )
+    got = np.asarray(
+        xattn_score_pallas_interpret(
+            jnp.array(img), jnp.array(lang), jnp.array(imask), jnp.array(lmask),
+            20.0, focal,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+def test_choose_blocks_divides():
+    for ls, lq in ((128, 128), (256, 128), (128, 256)):
+        bc, bq = _choose_blocks(ls, lq, 32, 32)
+        assert 32 % bc == 0 and 32 % bq == 0
+        assert bq * lq * ls <= 600_000
+
+
+def test_round_up():
+    assert _round_up(99, 128) == 128
+    assert _round_up(128, 128) == 128
+    assert _round_up(129, 128) == 256
