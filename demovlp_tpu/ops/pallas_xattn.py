@@ -171,10 +171,10 @@ def _direction_sim(
     """Padded + blocked wrapper around the kernel: sim (n_ctx, n_query)."""
     n_c, ls_real, d = context.shape
     n_q, lq_real, _ = query.shape
-    # ls is the kernel's lane (minor) axis -> 128-align; lq only ever sits on
-    # sublane/row axes -> 8-align is enough (zero-padding is exact, see above)
+    # both padded axes keep 128 alignment: ls is the lane (minor) axis, and
+    # 8-aligned-only lq was observed to blow up Mosaic compile times
     ls = _round_up(max(ls_real, 8), 128)
-    lq = _round_up(max(lq_real, 8), 8)
+    lq = _round_up(max(lq_real, 8), 128)
     # batch axes to a block multiple
     block_c, block_q = _choose_blocks(ls, lq, _round_up(n_c, 8), _round_up(n_q, 8))
     n_c_pad = _round_up(n_c, block_c)

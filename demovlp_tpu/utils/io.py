@@ -59,6 +59,32 @@ def flat_list_of_lists(l: list) -> list:
     return [item for sublist in l for item in sublist]
 
 
+def compute_iou(box_a, box_b) -> float:
+    """IoU of two xyxy boxes (reference utils/util.py:84)."""
+    xa = max(box_a[0], box_b[0])
+    ya = max(box_a[1], box_b[1])
+    xb = min(box_a[2], box_b[2])
+    yb = min(box_a[3], box_b[3])
+    inter = max(0.0, xb - xa) * max(0.0, yb - ya)
+    area_a = (box_a[2] - box_a[0]) * (box_a[3] - box_a[1])
+    area_b = (box_b[2] - box_b[0]) * (box_b[3] - box_b[1])
+    denom = area_a + area_b - inter
+    return float(inter / denom) if denom > 0 else 0.0
+
+
+_MEMCACHE = {}
+
+
+def memcache(path):
+    """Small memoized numpy loader (reference utils/util.py:162-191)."""
+    import numpy as np
+
+    key = str(path)
+    if key not in _MEMCACHE:
+        _MEMCACHE[key] = np.load(key, allow_pickle=True)
+    return _MEMCACHE[key]
+
+
 def replace_nested_dict_item(obj: dict, key, replace_value) -> dict:
     """Recursively replace every value stored under `key` in a nested dict."""
     for k, v in obj.items():
