@@ -22,11 +22,21 @@ import time
 import numpy as np
 
 
-ROUND1_PAIRS_PER_SEC = None  # filled by later rounds from BENCH_r1.json
+# round-1 recorded number on one v5e chip (b=128, f=1, k=30, bfloat16):
+# 16386.53 pairs/s/chip — later rounds report vs_baseline against this.
+ROUND1_PAIRS_PER_SEC = 16386.53
 
 
 def main() -> None:
     import jax
+
+    # persistent compile cache: repeat bench runs skip the (slow) TPU compile
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/demovlp_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from demovlp_tpu.losses import GlobalLocalLoss
     from demovlp_tpu.models import ObjectRelation

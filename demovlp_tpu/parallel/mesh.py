@@ -66,3 +66,16 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def host_allgather(x):
+    """Concatenate a host-local array across processes along axis 0 (the
+    TPU-native version of the reference's 13 eval dist.all_gather sites,
+    trainer/trainer_dist.py:252-321). No-op on a single host."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    stacked = multihost_utils.process_allgather(x)
+    return np.asarray(stacked).reshape(-1, *x.shape[1:])

@@ -128,7 +128,16 @@ class QATrainer(BaseTrainer):
                 arrays = shard_batch(arrays, self.mesh)
                 logits = np.asarray(self._eval_step(params, arrays))[:n_valid]
                 preds = logits.argmax(axis=-1)
-                for qid, pred in zip(data["question_id"][:n_valid], preds):
+                if jax.process_count() > 1:
+                    from demovlp_tpu.parallel.mesh import host_allgather
+
+                    preds = host_allgather(preds)
+                    qids = host_allgather(
+                        np.asarray(data["question_id"][:n_valid])
+                    )
+                else:
+                    qids = data["question_id"][:n_valid]
+                for qid, pred in zip(qids, preds):
                     results.append(
                         dict(
                             question_id=int(qid),

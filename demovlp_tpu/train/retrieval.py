@@ -22,7 +22,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import numpy as np
 
-from demovlp_tpu.parallel.mesh import shard_batch
+from demovlp_tpu.parallel.mesh import host_allgather, shard_batch
 from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
 from demovlp_tpu.ops.similarity import sim_matrix
 from demovlp_tpu.train.base_trainer import BaseTrainer
@@ -181,6 +181,9 @@ class RetrievalTrainer(BaseTrainer):
                 arrs["t_len"].append(np.asarray(out["text_length"])[:n_valid])
 
             cat = {k: np.concatenate(v, axis=0) for k, v in arrs.items()}
+            # multi-host: each host embedded its loader shard; gather the
+            # full set so metrics cover the whole val split
+            cat = {k: host_allgather(v) for k, v in cat.items()}
             if str(self.config["name"]).startswith("MSCOCO"):
                 for key in ("g_o", "l_o", "o_mask"):
                     cat[key] = cat[key][::5]

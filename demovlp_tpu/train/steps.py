@@ -59,15 +59,19 @@ def pad_batch(arrays: Dict[str, np.ndarray], target: int) -> Tuple[Dict, int]:
 
 # ------------------------------------------------------------- device side
 def _retrieval_losses(loss_obj, outputs, batch):
+    # towers may run in bfloat16; the contrastive losses (log-softmax,
+    # l2 norms) are computed in fp32 for stability
+    f32 = lambda x: x.astype(jnp.float32)
     global_sim = sim_matrix(
-        outputs["global_text_embeddings"], outputs["global_object_embeddings"]
+        f32(outputs["global_text_embeddings"]),
+        f32(outputs["global_object_embeddings"]),
     )
     text_mask = additive_mask(batch["attention_mask"][:, 1:])
     text_len = jnp.sum(batch["attention_mask"], axis=1)
     return loss_obj(
         global_sim,
-        outputs["local_object_embeddings"],
-        outputs["local_text_embeddings"],
+        f32(outputs["local_object_embeddings"]),
+        f32(outputs["local_text_embeddings"]),
         outputs["object_mask"],
         text_len,
         text_mask,

@@ -1,0 +1,56 @@
+"""Top-level CLI integration: the shipped smoke config through the real
+entry-point assembly (config -> registry -> loaders -> trainer.train())."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from demovlp_tpu.config import ConfigParser, build_argparser
+
+
+def _smoke_config(tmp_path) -> Path:
+    cfg = json.loads(Path("configs/smoke/synthetic_retrieval.json").read_text())
+    cfg["trainer"]["save_dir"] = str(tmp_path / "exps")
+    cfg["trainer"]["max_samples_per_epoch"] = 16
+    cfg["trainer"]["init_val"] = False
+    p = tmp_path / "smoke.json"
+    p.write_text(json.dumps(cfg))
+    return p
+
+
+def test_cli_train_smoke(tmp_path):
+    from demovlp_tpu.cli import train as cli_train
+
+    parser = build_argparser()
+    args = parser.parse_args(["-c", str(_smoke_config(tmp_path))])
+    config = ConfigParser(args)
+    log = cli_train.run(config, args)
+    assert np.isfinite(log["loss_0"])
+    assert "val_0_t2v_metrics_R1" in log
+    # run dir artifacts: config snapshot + checkpoint
+    assert (config.save_dir / "config.json").exists()
+    assert (config.save_dir / "checkpoint-epoch1").exists()
+
+
+def test_config_cli_overrides(tmp_path):
+    parser = build_argparser()
+    args = parser.parse_args(
+        ["-c", str(_smoke_config(tmp_path)), "--lr", "0.5", "--bs", "4"]
+    )
+    config = ConfigParser(args, test=True)
+    assert config["optimizer"]["args"]["lr"] == 0.5
+    assert config["data_loader"]["args"]["batch_size"] == 4
+
+
+def test_config_resume_reload(tmp_path):
+    cfg_path = _smoke_config(tmp_path)
+    parser = build_argparser()
+    args = parser.parse_args(["-c", str(cfg_path)])
+    config = ConfigParser(args)
+    # resume path: config.json is reloaded from the checkpoint's run dir
+    ckpt = config.save_dir / "checkpoint-epochX"
+    args2 = parser.parse_args(["-r", str(ckpt)])
+    config2 = ConfigParser(args2, test=True)
+    assert config2["name"] == config["name"]
+    assert config2.resume == ckpt
