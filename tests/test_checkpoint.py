@@ -1,0 +1,57 @@
+"""Checkpoint save/restore roundtrip + best-copy + resume semantics."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from demovlp_tpu.train import CheckpointManager, TrainState, make_optimizer
+
+
+def _tiny_state(seed=0):
+    rng = np.random.RandomState(seed)
+    params = {
+        "params": {
+            "dense": {"kernel": jnp.array(rng.randn(4, 3), jnp.float32),
+                      "bias": jnp.zeros(3)},
+        }
+    }
+    tx = make_optimizer(lr=1e-3)
+    return TrainState.create(params, tx), tx
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state, tx = _tiny_state()
+    mgr = CheckpointManager(tmp_path, arch="Tiny", config={"optimizer": {"type": "AdamW"}})
+    mgr.save(state, epoch=3, monitor_best=0.5, save_best=True)
+    assert (tmp_path / "checkpoint-epoch3").exists()
+    assert (tmp_path / "model_best").exists()
+
+    template, _ = _tiny_state(seed=1)  # different values, same structure
+    restored, meta = mgr.restore(tmp_path / "checkpoint-epoch3", template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["params"]["dense"]["kernel"]),
+        np.asarray(state.params["params"]["dense"]["kernel"]),
+    )
+    assert meta["epoch"] == 3
+    assert meta["monitor_best"] == 0.5
+    assert meta["arch"] == "Tiny"
+
+
+def test_latest_checkpoint(tmp_path):
+    state, _ = _tiny_state()
+    mgr = CheckpointManager(tmp_path)
+    assert mgr.latest() is None
+    mgr.save(state, epoch=1, monitor_best=1.0)
+    mgr.save(state, epoch=10, monitor_best=0.9)
+    mgr.save(state, epoch=2, monitor_best=0.95)
+    assert mgr.latest().name == "checkpoint-epoch10"
+
+
+def test_overwrite_same_epoch(tmp_path):
+    state, _ = _tiny_state()
+    mgr = CheckpointManager(tmp_path)
+    mgr.save(state, epoch=1, monitor_best=1.0)
+    mgr.save(state, epoch=1, monitor_best=0.8)  # re-save same epoch works
+    _, meta = mgr.restore(tmp_path / "checkpoint-epoch1", state)
+    assert meta["monitor_best"] == 0.8
