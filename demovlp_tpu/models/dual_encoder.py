@@ -52,6 +52,7 @@ class ObjectRelation(nn.Module):
     object_embed_dim: int = 768
     object_depth: int = 12
     object_heads: int = 12
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
     remat: bool = False
 
@@ -68,6 +69,7 @@ class ObjectRelation(nn.Module):
             embed_dim=self.object_embed_dim,
             depth=self.object_depth,
             num_heads=self.object_heads,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             remat=self.remat,
             name="object_model",
@@ -111,6 +113,7 @@ class ObjectQARelation(nn.Module):
     object_embed_dim: int = 768
     object_depth: int = 12
     object_heads: int = 12
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
     remat: bool = False
 
@@ -127,6 +130,7 @@ class ObjectQARelation(nn.Module):
             embed_dim=self.object_embed_dim,
             depth=self.object_depth,
             num_heads=self.object_heads,
+            attn_impl=self.attn_impl,
             dtype=self.dtype,
             remat=self.remat,
             name="object_model",

@@ -57,6 +57,7 @@ class VarAttention(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = True
     zero_init: bool = False  # reference 'zeros' initialize mode (:142-148)
+    attn_impl: str = "xla"  # "xla" | "pallas" (fused grouped-attention core)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -125,7 +126,21 @@ class VarAttention(nn.Module):
         vg = jnp.concatenate([cls_v, vg], axis=3)
         mg = jnp.concatenate([cls_m, m_g], axis=2)  # (B,G,1+L)
 
-        out = _grouped_attention(qg, kg, vg, mg[:, None, :, None, :])  # (B,h,G,L,hd)
+        if self.attn_impl == "pallas":
+            from demovlp_tpu.ops.pallas_attention import grouped_attention_fused
+
+            gt = B * h * G
+            bias = jnp.broadcast_to(mg[:, None, :, :], (B, h, G, 1 + L))
+            out = grouped_attention_fused(
+                qg.reshape(gt, L, hd),
+                kg.reshape(gt, 1 + L, hd),
+                vg.reshape(gt, 1 + L, hd),
+                bias.reshape(gt, 1 + L),
+            ).reshape(B, h, G, L, hd)
+        else:
+            out = _grouped_attention(
+                qg, kg, vg, mg[:, None, :, None, :]
+            )  # (B,h,G,L,hd)
 
         if mode == "time":
             out = out.transpose(0, 1, 3, 2, 4)  # (B,h,F,K,hd)
@@ -149,6 +164,7 @@ class SpaceTimeBlock(nn.Module):
     time_module: Optional[str] = None
     time_init: str = "rand"
     dropout_rate: float = 0.0
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -159,6 +175,7 @@ class SpaceTimeBlock(nn.Module):
                 self.num_heads,
                 self.qkv_bias,
                 zero_init=(self.time_init == "zeros"),
+                attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name="timeattn",
             )(LayerNormFp32(name="norm3")(x), add_mask, "time", frames, patches)
@@ -166,7 +183,8 @@ class SpaceTimeBlock(nn.Module):
         else:
             time_residual = x
         s = VarAttention(
-            self.dim, self.num_heads, self.qkv_bias, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, self.qkv_bias,
+            attn_impl=self.attn_impl, dtype=self.dtype, name="attn",
         )(LayerNormFp32(name="norm1")(time_residual), add_mask, "space", frames, patches)
         # residual from the ORIGINAL x (frozen-in-time), reference :266-267
         space_residual = x + s
@@ -195,6 +213,7 @@ class ObjectTransformer(nn.Module):
     time_init: str = "rand"
     appearance_dim: int = 2048
     dropout_rate: float = 0.0
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
     remat: bool = False  # jax.checkpoint each block (memory/flops trade)
 
@@ -259,6 +278,7 @@ class ObjectTransformer(nn.Module):
                 time_module=self.time_module,
                 time_init=self.time_init,
                 dropout_rate=self.dropout_rate,
+                attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(h, add_mask, F, K, deterministic)
