@@ -22,9 +22,9 @@ import time
 import numpy as np
 
 
-# round-1 recorded number on one v5e chip (b=128, f=1, k=30, bfloat16):
-# 16386.53 pairs/s/chip — later rounds report vs_baseline against this.
-ROUND1_PAIRS_PER_SEC = 16386.53
+# round-1 recorded number on one v5e chip (b=128, f=1, k=30, bfloat16,
+# idle host): 28629.18 pairs/s/chip — vs_baseline is reported against this.
+ROUND1_PAIRS_PER_SEC = 28629.18
 
 
 def main() -> None:

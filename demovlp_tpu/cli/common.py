@@ -25,6 +25,9 @@ logger = logging.getLogger(__name__)
 
 
 def build_mesh(config: ConfigParser):
+    from demovlp_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     setup_distributed()
     backend = config.get("ops", {}).get("xattn_backend")
     if backend:

@@ -102,6 +102,7 @@ class QATrainer(BaseTrainer):
                         f" postive/all : {pos_cnt}/{tot_cnt}"
                     )
                 if self.writer is not None and jax.process_index() == 0:
+                    self.writer.set_step(int(self.state.step), "train")
                     self.writer.log_scalar(f"loss_train_{dl_idx}", float(m["loss"]))
             if batch_idx == self.len_epoch:
                 break

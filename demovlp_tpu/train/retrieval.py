@@ -129,6 +129,7 @@ class RetrievalTrainer(BaseTrainer):
                         )
                 total_loss[dl_idx] += float(m["loss"])
                 if self.writer is not None and jax.process_index() == 0:
+                    self.writer.set_step(int(self.state.step), "train")
                     self.writer.log_scalar(f"loss_train_{dl_idx}", float(m["loss"]))
                 n_steps += 1
             if batch_idx == self.len_epoch:
