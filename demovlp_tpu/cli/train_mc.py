@@ -42,6 +42,12 @@ def run(config: ConfigParser, args) -> dict:
         rng_seed=args.seed,
     )
     resume = config.resume or config["trainer"].get("resume")
+    if resume == "auto":
+        from demovlp_tpu.train.checkpoint import find_latest_checkpoint
+
+        resume = find_latest_checkpoint(
+            config["trainer"]["save_dir"], config["name"]
+        )
     if resume:
         trainer.resume(resume)
     return trainer.train()

@@ -87,3 +87,23 @@ class CheckpointManager:
             key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
         )
         return cands[-1] if cands else None
+
+
+def find_latest_checkpoint(save_root, exper_name: str) -> Optional[Path]:
+    """Newest checkpoint across a config's timestamped run dirs — powers
+    `trainer.resume: "auto"` (net-new: the reference requires an explicit
+    -r path; auto-resume is the minimal fault-recovery story for preemptible
+    TPU jobs: re-launch the same command, training continues)."""
+    base = Path(save_root) / "models" / exper_name
+    if not base.exists():
+        return None
+    for run_dir in sorted(base.iterdir(), reverse=True):
+        if not run_dir.is_dir():
+            continue
+        cands = sorted(
+            run_dir.glob("checkpoint-epoch*"),
+            key=lambda p: int(p.name.rsplit("epoch", 1)[1]),
+        )
+        if cands:
+            return cands[-1]
+    return None
