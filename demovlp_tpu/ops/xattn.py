@@ -162,39 +162,69 @@ def xattn_score(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("segment", "lambda_softmax", "focal_type"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("segment", "cap_segment", "lambda_softmax", "focal_type"),
+)
 def xattn_score_blockwise(
     images,
     captions,
     img_mask,
     cap_mask,
     segment: int = 128,
+    cap_segment: int = 0,
     lambda_softmax: float = 20.0,
     focal_type: str = "prob",
 ):
     """Memory-bounded all-pairs local similarity for evaluation.
 
     TPU-native replacement for the reference's serial host loop over 8x8
-    blocks (model/loss.py:73-103): the image axis is scanned in blocks of
-    `segment` on device, each block computing its full row of the similarity
-    matrix in one fused kernel. Wrap in shard_map to split blocks across a
-    mesh (see parallel/sharded_eval.py).
+    blocks (model/loss.py:73-103): the image axis (and optionally the
+    caption axis, `cap_segment` > 0) is scanned in blocks on device, each
+    tile computed in one fused kernel. Wrap in shard_map to split image
+    blocks across a mesh (see parallel/sharded_eval.py).
 
-    `images` rows must be a multiple of `segment` (pad + trim at the caller).
+    `images` rows must be a multiple of `segment` (pad + trim at the
+    caller); same for captions/`cap_segment` when caption blocking is on.
     """
     n_img = images.shape[0]
+    n_cap = captions.shape[0]
     assert n_img % segment == 0, (n_img, segment)
     n_blocks = n_img // segment
 
     img_blocks = images.reshape(n_blocks, segment, *images.shape[1:])
     mask_blocks = img_mask.reshape(n_blocks, segment, img_mask.shape[1])
 
-    def block_fn(carry, blk):
-        imgs, masks = blk
-        sims = xattn_score(
-            imgs, captions, masks, cap_mask, lambda_softmax, focal_type
-        )
-        return carry, sims
+    if cap_segment and cap_segment < n_cap:
+        assert n_cap % cap_segment == 0, (n_cap, cap_segment)
+        m_blocks = n_cap // cap_segment
+        cap_blocks = captions.reshape(m_blocks, cap_segment, *captions.shape[1:])
+        cmask_blocks = cap_mask.reshape(m_blocks, cap_segment, cap_mask.shape[1])
+
+        def tile_fn(imgs, masks):
+            def inner(carry, cblk):
+                caps, cmasks = cblk
+                sims = xattn_score(
+                    imgs, caps, masks, cmasks, lambda_softmax, focal_type
+                )
+                return carry, sims
+
+            _, tiles = jax.lax.scan(inner, None, (cap_blocks, cmask_blocks))
+            # (m_blocks, segment, cap_segment) -> (segment, n_cap)
+            return tiles.transpose(1, 0, 2).reshape(segment, n_cap)
+
+        def block_fn(carry, blk):
+            imgs, masks = blk
+            return carry, tile_fn(imgs, masks)
+
+    else:
+
+        def block_fn(carry, blk):
+            imgs, masks = blk
+            sims = xattn_score(
+                imgs, captions, masks, cap_mask, lambda_softmax, focal_type
+            )
+            return carry, sims
 
     _, sims = jax.lax.scan(block_fn, None, (img_blocks, mask_blocks))
-    return sims.reshape(n_img, captions.shape[0])
+    return sims.reshape(n_img, n_cap)

@@ -34,6 +34,7 @@ def sharded_local_sims(
     lang_mask,
     mesh: Mesh,
     segment: int = 64,
+    cap_segment: int = 0,
     lambda_softmax: float = 20.0,
     focal_type: str = "prob",
 ) -> np.ndarray:
@@ -49,6 +50,25 @@ def sharded_local_sims(
     lang_mask = np.asarray(lang_mask, dtype=np.float32)
 
     n_img = img_feats.shape[0]
+    n_cap = lang_feats.shape[0]
+    # caption blocking keeps the per-tile (seg, cap_seg, Lq, Ls) intermediate
+    # bounded on the non-fused (XLA) backend for large galleries
+    from demovlp_tpu.ops.xattn import get_backend
+
+    if cap_segment == 0 and get_backend() == "xla" and n_cap > 256:
+        cap_segment = 128
+    if cap_segment:
+        pad_cap = -(-n_cap // cap_segment) * cap_segment - n_cap
+        if pad_cap:
+            lang_feats = np.pad(
+                np.asarray(lang_feats, np.float32),
+                ((0, pad_cap), (0, 0), (0, 0)),
+            )
+            lang_mask = np.pad(
+                np.asarray(lang_mask, np.float32),
+                ((0, pad_cap), (0, 0)),
+                constant_values=-100.0,
+            )
     n_dev = mesh.shape[DATA_AXIS]
     # pad the gallery axis so each device gets an equal multiple of `segment`
     per_dev = -(-n_img // (n_dev * segment)) * segment
@@ -73,6 +93,7 @@ def sharded_local_sims(
             lambda im, la, ima, lam: xattn_score_blockwise(
                 im, la, ima, lam,
                 segment=segment,
+                cap_segment=cap_segment,
                 lambda_softmax=lambda_softmax,
                 focal_type=focal_type,
             ),
@@ -83,4 +104,4 @@ def sharded_local_sims(
         return fn(imgs, langs, imasks, lmasks)
 
     sims = compute(img_feats_p, lang_feats, img_mask_p, lang_mask)
-    return np.asarray(sims)[:n_img]
+    return np.asarray(sims)[:n_img, :n_cap]
