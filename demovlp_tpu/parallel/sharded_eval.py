@@ -100,6 +100,8 @@ def sharded_local_sims(
             mesh=mesh,
             in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P()),
             out_specs=P(DATA_AXIS),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
         )
         return fn(imgs, langs, imasks, lmasks)
 
