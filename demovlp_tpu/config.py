@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import inspect
 import logging
-import os
 from datetime import datetime
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence

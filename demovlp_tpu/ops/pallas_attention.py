@@ -15,8 +15,6 @@ them, padded hd lanes are zero so matmuls are exact.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -11,7 +11,6 @@ devices — the upgrade of the reference's dormant AllGather_multi
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Tuple
 
 import jax
