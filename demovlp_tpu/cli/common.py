@@ -63,6 +63,8 @@ def build_model(config: ConfigParser, mesh=None):
     text_cfg_overrides = txt_p.get("config", {})
     if text_cfg_overrides:
         kwargs["text_config"] = DistilBertConfig(**text_cfg_overrides)
+    if float((config.get("mlm", {}) or {}).get("weight", 0.0)) > 0:
+        kwargs["with_mlm"] = True
     dtype = config.get("precision", {}).get("compute", "float32")
     if dtype != "float32":
         import jax.numpy as jnp

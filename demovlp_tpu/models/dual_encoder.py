@@ -30,7 +30,13 @@ class _TextTower(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, deterministic: bool = True):
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        deterministic: bool = True,
+        return_hidden: bool = False,
+    ):
         hidden = DistilBertModel(self.text_config, self.dtype, name="text_model")(
             input_ids, attention_mask, deterministic
         )
@@ -38,7 +44,33 @@ class _TextTower(nn.Module):
         proj = nn.Dense(self.projection_dim, dtype=self.dtype, name="txt_proj")(
             nn.relu(hidden)
         )
+        if return_hidden:
+            return proj, hidden
         return proj
+
+
+class MLMHead(nn.Module):
+    """DistilBERT-style masked-LM head (vocab transform -> GELU -> LN ->
+    vocab projector). The reference ships the 80/10/10 masking helper but no
+    head (utils/util.py:193-240, dead); BASELINE.json names contrastive+MLM
+    as the pre-training objective, so the head is first-class here."""
+
+    vocab_size: int
+    dim: int
+    layer_norm_eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        import jax
+
+        x = nn.Dense(self.dim, dtype=self.dtype, name="vocab_transform")(hidden)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(
+            epsilon=self.layer_norm_eps, dtype=jnp.float32,
+            param_dtype=jnp.float32, name="vocab_layer_norm",
+        )(x.astype(jnp.float32)).astype(x.dtype)
+        return nn.Dense(self.vocab_size, dtype=self.dtype, name="vocab_projector")(x)
 
 
 class ObjectRelation(nn.Module):
@@ -53,6 +85,7 @@ class ObjectRelation(nn.Module):
     object_depth: int = 12
     object_heads: int = 12
     attn_impl: str = "xla"
+    with_mlm: bool = False
     dtype: Any = jnp.float32
     remat: bool = False
 
@@ -74,6 +107,14 @@ class ObjectRelation(nn.Module):
             remat=self.remat,
             name="object_model",
         )
+        if self.with_mlm:
+            self.mlm_head = MLMHead(
+                vocab_size=self.text_config.vocab_size,
+                dim=self.text_config.dim,
+                layer_norm_eps=self.text_config.layer_norm_eps,
+                dtype=self.dtype,
+                name="mlm_head",
+            )
 
     def compute_text(self, input_ids, attention_mask, deterministic: bool = True):
         t = self.text_tower(input_ids, attention_mask, deterministic)
@@ -85,20 +126,31 @@ class ObjectRelation(nn.Module):
 
     def __call__(self, batch, deterministic: bool = True):
         """batch: {input_ids (B,L), attention_mask (B,L), object (B,F,K,2054),
-        object_mask (B,F,K)} -> embedding dict (reference model.py:70-84)."""
-        g_t, l_t = self.compute_text(
-            batch["input_ids"], batch["attention_mask"], deterministic
-        )
+        object_mask (B,F,K)} -> embedding dict (reference model.py:70-84);
+        + mlm_logits when with_mlm."""
+        if self.with_mlm:
+            t, hidden = self.text_tower(
+                batch["input_ids"], batch["attention_mask"], deterministic,
+                return_hidden=True,
+            )
+            g_t, l_t = t[:, 0], t[:, 1:]
+        else:
+            g_t, l_t = self.compute_text(
+                batch["input_ids"], batch["attention_mask"], deterministic
+            )
         g_o, l_o, add_mask = self.compute_object(
             batch["object"], batch["object_mask"], deterministic
         )
-        return dict(
+        out = dict(
             global_text_embeddings=g_t,
             local_text_embeddings=l_t,
             global_object_embeddings=g_o,
             local_object_embeddings=l_o,
             object_mask=add_mask[:, 1:],  # additive, CLS trimmed
         )
+        if self.with_mlm:
+            out["mlm_logits"] = self.mlm_head(hidden)
+        return out
 
 
 class ObjectQARelation(nn.Module):

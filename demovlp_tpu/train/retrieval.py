@@ -82,10 +82,22 @@ class RetrievalTrainer(BaseTrainer):
             config.get("eval", {}).get("local_sim_segment", 64)
         )
 
+        # optional MLM pre-training objective (config "mlm": {weight, ...})
+        mlm_cfg = config.get("mlm", {}) or {}
+        self.mlm_weight = float(mlm_cfg.get("weight", 0.0))
+        self.mlm_prob = float(mlm_cfg.get("mask_prob", 0.15))
+        self.mlm_mask_token = int(mlm_cfg.get("mask_token_id", 103))
+        self.mlm_vocab = int(
+            mlm_cfg.get("vocab_size", getattr(model, "text_config").vocab_size)
+        )
+        self._mlm_rng = np.random.default_rng(rng_seed + 1)
+
         self.rng = jax.random.PRNGKey(rng_seed)
         sample = self._first_batch_template()
         self.state = create_train_state(model, tx, sample, self.rng, mesh)
-        self._train_step = make_retrieval_train_step(model, loss, tx, mesh)
+        self._train_step = make_retrieval_train_step(
+            model, loss, tx, mesh, mlm_weight=self.mlm_weight
+        )
         self._eval_step = make_retrieval_eval_step(model, loss, mesh)
 
     # ------------------------------------------------------------------
@@ -114,6 +126,19 @@ class RetrievalTrainer(BaseTrainer):
             for dl_idx, data in enumerate(data_li):
                 arrays = prepare_batch(data, self.tokenizer)
                 arrays.pop("label", None)
+                if self.mlm_weight:
+                    from demovlp_tpu.data.mlm import mask_batch_text_tokens
+
+                    masked, labels = mask_batch_text_tokens(
+                        arrays["input_ids"],
+                        arrays["attention_mask"],
+                        mask_token_id=self.mlm_mask_token,
+                        vocab_size=self.mlm_vocab,
+                        rng=self._mlm_rng,
+                        mlm_probability=self.mlm_prob,
+                    )
+                    arrays["input_ids"] = masked
+                    arrays["mlm_labels"] = labels
                 arrays = shard_batch(arrays, self.mesh)
                 self.state, m = self._train_step(self.state, arrays, lr, self.rng)
                 if batch_idx % self.log_step == 0:

@@ -77,7 +77,17 @@ def _retrieval_losses(loss_obj, outputs, batch):
     )
 
 
-def make_retrieval_train_step(model, loss_obj, tx, mesh) -> Callable:
+def mlm_loss_fn(logits, labels, ignore_index: int = -100):
+    """Masked-LM CE averaged over the selected (label != ignore) positions."""
+    logits = logits.astype(jnp.float32)
+    valid = (labels != ignore_index).astype(jnp.float32)
+    safe_labels = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def make_retrieval_train_step(model, loss_obj, tx, mesh, mlm_weight: float = 0.0) -> Callable:
     def step(state: TrainState, batch, lr, rng):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -86,9 +96,13 @@ def make_retrieval_train_step(model, loss_obj, tx, mesh) -> Callable:
                 params, batch, deterministic=False, rngs={"dropout": rng}
             )
             total, g, l = _retrieval_losses(loss_obj, out, batch)
-            return total, (g, l)
+            mlm = jnp.zeros((), jnp.float32)
+            if mlm_weight:
+                mlm = mlm_loss_fn(out["mlm_logits"], batch["mlm_labels"])
+                total = total + mlm_weight * mlm
+            return total, (g, l, mlm)
 
-        (total, (g, l)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (total, (g, l, mlm)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
         opt_state = state.opt_state
@@ -96,7 +110,7 @@ def make_retrieval_train_step(model, loss_obj, tx, mesh) -> Callable:
         updates, new_opt = tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=new_opt, step=state.step + 1)
-        metrics = {"loss": total, "global_loss": g, "local_loss": l}
+        metrics = {"loss": total, "global_loss": g, "local_loss": l, "mlm_loss": mlm}
         return new_state, metrics
 
     rep = replicated_sharding(mesh)
@@ -117,6 +131,7 @@ def make_retrieval_eval_step(model, loss_obj, mesh) -> Callable:
         out = model.apply(params, batch, deterministic=True)
         total, g, l = _retrieval_losses(loss_obj, out, batch)
         out = dict(out)
+        out.pop("mlm_logits", None)  # eval doesn't score MLM; let XLA DCE it
         out["text_mask_add"] = additive_mask(batch["attention_mask"][:, 1:])
         out["text_length"] = jnp.sum(batch["attention_mask"], axis=1)
         return out, (total, g, l)
