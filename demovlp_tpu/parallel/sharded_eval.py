@@ -77,6 +77,25 @@ def sharded_local_sims(
     img_mask_p = np.full((total, img_mask.shape[1]), -100.0, dtype=np.float32)
     img_mask_p[:n_img] = img_mask
 
+    if get_backend() == "pallas":
+        # the fused kernel tiles internally — no outer scan needed (and
+        # scan+shard_map nesting around pallas_call compiles pathologically)
+        from demovlp_tpu.ops.xattn import xattn_score
+
+        def per_shard(im, la, ima, lam):
+            return xattn_score(im, la, ima, lam, lambda_softmax, focal_type)
+
+    else:
+
+        def per_shard(im, la, ima, lam):
+            return xattn_score_blockwise(
+                im, la, ima, lam,
+                segment=segment,
+                cap_segment=cap_segment,
+                lambda_softmax=lambda_softmax,
+                focal_type=focal_type,
+            )
+
     @functools.partial(
         jax.jit,
         in_shardings=(
@@ -89,13 +108,7 @@ def sharded_local_sims(
     )
     def compute(imgs, langs, imasks, lmasks):
         fn = jax.shard_map(
-            lambda im, la, ima, lam: xattn_score_blockwise(
-                im, la, ima, lam,
-                segment=segment,
-                cap_segment=cap_segment,
-                lambda_softmax=lambda_softmax,
-                focal_type=focal_type,
-            ),
+            per_shard,
             mesh=mesh,
             in_specs=(P(DATA_AXIS), P(), P(DATA_AXIS), P()),
             out_specs=P(DATA_AXIS),
