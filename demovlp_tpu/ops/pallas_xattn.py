@@ -154,10 +154,15 @@ def _choose_blocks(ls: int, lq: int, n_c: int, n_q: int) -> Tuple[int, int]:
     """Pick tile sizes: the kernel's working set is one (bq*lq, ls) fp32
     matrix (plus a few copies), so bound bq by a ~2.4 MB budget; bc only
     controls input-block reuse."""
-    budget = 600_000  # elements
+    # VMEM must hold double-buffered input blocks AND the working matrices:
+    # qry block bq*lq*d, its normalized copy, the (bq*lq, ls) attention and
+    # its softmax/focal copies. 160k elements (~0.6 MB fp32) per bq*lq*max
+    # keeps the scoped total well under the 16 MB limit.
+    budget = 160_000  # elements
+    dim = 256
     bq = 1
     for cand in (16, 8, 4, 2, 1):
-        if cand * lq * ls <= budget and n_q % cand == 0:
+        if cand * lq * max(ls, dim) <= budget and n_q % cand == 0:
             bq = cand
             break
     bc = 8 if n_c % 8 == 0 else (4 if n_c % 4 == 0 else 1)
