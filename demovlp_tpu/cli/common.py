@@ -122,6 +122,36 @@ def init_dataloaders(config: ConfigParser, val_split: str = "val") -> Tuple[List
     return train_loaders, val_loaders
 
 
+def load_pretrained_params(config: ConfigParser, state):
+    """arch.args.load_checkpoint transfer loading (reference model/model.py:
+    49-62): a reference .pth is converted on the fly (incl. temporal-embed
+    inflation per load_temporal_fix), an orbax dir is restored directly.
+    Params only; optimizer state stays fresh."""
+    args = config["arch"].get("args", {})
+    ckpt = args.get("load_checkpoint", "")
+    if not ckpt:
+        return state
+    from pathlib import Path
+
+    path = Path(ckpt)
+    if path.suffix in (".pth", ".pt", ".bin"):
+        from demovlp_tpu.convert import load_reference_checkpoint
+
+        obj_p = args.get("object_params", {})
+        params = load_reference_checkpoint(
+            str(path),
+            num_frames=int(obj_p.get("num_frames", 4)),
+            temporal_fix=args.get("load_temporal_fix", "zeros"),
+        )
+    else:
+        import orbax.checkpoint as ocp
+
+        target = path / "params" if (path / "params").exists() else path
+        params = ocp.StandardCheckpointer().restore(target.absolute(), state.params)
+    logger.info("Loaded pretrained params from %s", ckpt)
+    return state.replace(params=params)
+
+
 def build_writer(config: ConfigParser):
     if jax.process_index() != 0:
         return None

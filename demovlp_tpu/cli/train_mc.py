@@ -41,6 +41,9 @@ def run(config: ConfigParser, args) -> dict:
         learning_rate1=args.learning_rate1,
         rng_seed=args.seed,
     )
+    from demovlp_tpu.cli.common import load_pretrained_params
+
+    trainer.state = load_pretrained_params(config, trainer.state)
     resume = config.resume or config["trainer"].get("resume")
     if resume == "auto":
         from demovlp_tpu.train.checkpoint import find_latest_checkpoint
