@@ -42,7 +42,7 @@ _BACKEND = os.environ.get("DEMOVLP_XATTN_BACKEND", "xla")  # "xla" | "pallas"
 
 def set_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "auto"), name
     _BACKEND = name
 
 
@@ -151,7 +151,10 @@ def xattn_score(
     """
     if cap_mask is None:
         cap_mask = jnp.zeros(captions.shape[:2], dtype=images.dtype)
-    if _BACKEND == "pallas":
+    backend = _BACKEND
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if backend == "pallas":
         from demovlp_tpu.ops.pallas_xattn import xattn_score_pallas
 
         return xattn_score_pallas(

@@ -36,6 +36,7 @@ def sharded_local_sims(
     cap_segment: int = 0,
     lambda_softmax: float = 20.0,
     focal_type: str = "prob",
+    backend: str | None = None,
 ) -> np.ndarray:
     """Full (n_videos, n_texts) local similarity matrix on the mesh.
 
@@ -50,11 +51,18 @@ def sharded_local_sims(
 
     n_img = img_feats.shape[0]
     n_cap = lang_feats.shape[0]
-    # caption blocking keeps the per-tile (seg, cap_seg, Lq, Ls) intermediate
-    # bounded on the non-fused (XLA) backend for large galleries
     from demovlp_tpu.ops.xattn import get_backend
 
-    if cap_segment == 0 and get_backend() == "xla" and n_cap > 256:
+    if backend is None:
+        backend = get_backend()
+    if backend == "auto":
+        # measured on v5e (BENCH_NOTES.md): the fused Pallas kernel is faster
+        # AND memory-bounded by construction at gallery scale; CPU (tests)
+        # can't run compiled Mosaic, so it keeps the XLA path
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+    # caption blocking keeps the per-tile (seg, cap_seg, Lq, Ls) intermediate
+    # bounded on the non-fused (XLA) backend for large galleries
+    if cap_segment == 0 and backend == "xla" and n_cap > 256:
         cap_segment = 128
     if cap_segment:
         pad_cap = -(-n_cap // cap_segment) * cap_segment - n_cap
@@ -77,13 +85,13 @@ def sharded_local_sims(
     img_mask_p = np.full((total, img_mask.shape[1]), -100.0, dtype=np.float32)
     img_mask_p[:n_img] = img_mask
 
-    if get_backend() == "pallas":
+    if backend == "pallas":
         # the fused kernel tiles internally — no outer scan needed (and
         # scan+shard_map nesting around pallas_call compiles pathologically)
-        from demovlp_tpu.ops.xattn import xattn_score
+        from demovlp_tpu.ops.pallas_xattn import xattn_score_pallas
 
         def per_shard(im, la, ima, lam):
-            return xattn_score(im, la, ima, lam, lambda_softmax, focal_type)
+            return xattn_score_pallas(im, la, ima, lam, lambda_softmax, focal_type)
 
     else:
 

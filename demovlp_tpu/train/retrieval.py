@@ -81,6 +81,8 @@ class RetrievalTrainer(BaseTrainer):
         self.eval_segment = int(
             config.get("eval", {}).get("local_sim_segment", 64)
         )
+        # "auto": fused Pallas kernel on TPU, XLA elsewhere (BENCH_NOTES.md)
+        self.eval_backend = config.get("eval", {}).get("xattn_backend", "auto")
 
         # optional MLM pre-training objective (config "mlm": {weight, ...})
         mlm_cfg = config.get("mlm", {}) or {}
@@ -226,6 +228,7 @@ class RetrievalTrainer(BaseTrainer):
                     segment=self.eval_segment,
                     lambda_softmax=self.loss.local_loss.lambda_softmax,
                     focal_type=self.loss.local_loss.focal_type,
+                    backend=self.eval_backend,
                 )
                 # reference orientation quirk: (text,video) + (video,text)
                 o2t_sims = o2t_sims + local_sims
