@@ -75,13 +75,16 @@ class MSRVTTObjectSelect(RegionDataset):
             caps = caps.sample(frac=self.subsample)
 
         if js_test_cap_idx_path is not None and self.split != "train":
-            cap_idx = pd.Series(
-                np.load(
-                    os.path.join(split_dir, js_test_cap_idx_path), allow_pickle=True
-                )
+            loaded = np.load(
+                os.path.join(split_dir, js_test_cap_idx_path), allow_pickle=True
             )
+            if isinstance(loaded, pd.Series):
+                cap_idx = loaded  # pickled Series keyed by video id
+            else:
+                # raw array: positional, aligned with the (sorted) video ids
+                cap_idx = pd.Series(list(np.asarray(loaded).ravel()), index=caps.index)
             frame = pd.DataFrame({"caps": caps, "cap_idx": cap_idx})
-            caps = frame.apply(lambda r: [r["caps"][r["cap_idx"]]], axis=1)
+            caps = frame.apply(lambda r: [r["caps"][int(r["cap_idx"])]], axis=1)
 
         self.metadata = pd.DataFrame({"captions": caps})
 
