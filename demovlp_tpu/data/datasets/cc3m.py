@@ -13,7 +13,7 @@ import numpy as np
 import pandas as pd
 
 from demovlp_tpu.data.datasets.base import RegionDataset
-from demovlp_tpu.data.datasets.msrvtt import META_DATA_DIR
+from demovlp_tpu.data.datasets.msrvtt import meta_data_dir
 from demovlp_tpu.data.regions import read_image_regions
 
 
@@ -24,7 +24,7 @@ class ConceptualCaptions3MObjectSelect(RegionDataset):
             "val": "cc3m_validation_success_full.tsv",
         }
         metadata = pd.read_csv(
-            os.path.join(META_DATA_DIR, split_files[self.split]),
+            os.path.join(meta_data_dir(), split_files[self.split]),
             sep="\t",
             header=None,
             names=["caption", "vid"],

@@ -11,7 +11,7 @@ import os
 import pandas as pd
 
 from demovlp_tpu.data.datasets.base import RegionDataset
-from demovlp_tpu.data.datasets.msrvtt import META_DATA_DIR
+from demovlp_tpu.data.datasets.msrvtt import meta_data_dir
 
 
 class DiDeMoObjectSelect(RegionDataset):
@@ -22,7 +22,7 @@ class DiDeMoObjectSelect(RegionDataset):
             "test": "DiDeMo_test.tsv",
         }
         metadata = pd.read_csv(
-            os.path.join(META_DATA_DIR, split_files[self.split]),
+            os.path.join(meta_data_dir(), split_files[self.split]),
             sep="\t",
             header=None,
             names=["caption", "vid"],

@@ -20,7 +20,10 @@ import pandas as pd
 from demovlp_tpu.data.datasets.base import RegionDataset
 from demovlp_tpu.utils import load_json, load_jsonl
 
-META_DATA_DIR = os.environ.get("DEMOVLP_META_DIR", "./meta_data")
+def meta_data_dir() -> str:
+    """Shipped-split metadata dir (reference hardcodes ./meta_data; overridable
+    via DEMOVLP_META_DIR)."""
+    return os.environ.get("DEMOVLP_META_DIR", "./meta_data")
 
 
 class MSRVTTObjectSelect(RegionDataset):
@@ -102,7 +105,7 @@ class MSRVTTObjectSelect(RegionDataset):
 
 class MSRVTTQAObjectSelect(RegionDataset):
     def _load_metadata(self):
-        meta_dir = META_DATA_DIR
+        meta_dir = meta_data_dir()
         self.ans2label = load_json(os.path.join(meta_dir, "msrvtt_train_ans2label.json"))
         split_files = {
             "train": "msrvtt_qa_train.jsonl",
@@ -142,7 +145,7 @@ class MSRVTTQAObjectSelect(RegionDataset):
 
 class MSRVTTMCObjectSelect(RegionDataset):
     def _load_metadata(self):
-        raw = load_jsonl(os.path.join(META_DATA_DIR, "msrvtt_mc_test.jsonl"))
+        raw = load_jsonl(os.path.join(meta_data_dir(), "msrvtt_mc_test.jsonl"))
         if self.subsample < 1:
             n = int(len(raw) * self.subsample)
             random.shuffle(raw)

@@ -15,7 +15,7 @@ from typing import Any, Dict
 import pandas as pd
 
 from demovlp_tpu.data.datasets.base import RegionDataset
-from demovlp_tpu.data.datasets.msrvtt import META_DATA_DIR
+from demovlp_tpu.data.datasets.msrvtt import meta_data_dir
 from demovlp_tpu.utils import load_json
 
 
@@ -27,7 +27,7 @@ class MSVDObjectSelect(RegionDataset):
             "test": "MSVD_test.tsv",
         }
         metadata = pd.read_csv(
-            os.path.join(META_DATA_DIR, split_files[self.split]),
+            os.path.join(meta_data_dir(), split_files[self.split]),
             sep="\t",
             header=None,
             names=["caption", "vid"],
@@ -46,7 +46,7 @@ class MSVDObjectSelect(RegionDataset):
 
 class MSVDQAObjectSelect(RegionDataset):
     def _load_metadata(self):
-        meta_dir = META_DATA_DIR
+        meta_dir = meta_data_dir()
         self.ans2label = {}
         with open(os.path.join(meta_dir, "msvd_answer_set.txt")) as f:
             for idx, label in enumerate(f.readlines()):

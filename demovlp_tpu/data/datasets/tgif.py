@@ -10,13 +10,13 @@ import random
 from typing import Any, Dict
 
 from demovlp_tpu.data.datasets.base import RegionDataset
-from demovlp_tpu.data.datasets.msrvtt import META_DATA_DIR
+from demovlp_tpu.data.datasets.msrvtt import meta_data_dir
 from demovlp_tpu.utils import load_json, load_jsonl
 
 
 class TGIFFrameObjectSelect(RegionDataset):
     def _load_metadata(self):
-        meta_dir = META_DATA_DIR
+        meta_dir = meta_data_dir()
         self.ans2label = load_json(
             os.path.join(meta_dir, "frameqa_trainval_ans2label.json")
         )

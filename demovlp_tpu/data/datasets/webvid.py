@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 
 from demovlp_tpu.data.datasets.base import RegionDataset
-from demovlp_tpu.data.datasets.msrvtt import META_DATA_DIR
+from demovlp_tpu.data.datasets.msrvtt import meta_data_dir
 from demovlp_tpu.data.sampling import sample_frame_indices
 
 
@@ -27,7 +27,7 @@ class WebVidObjectSelect(RegionDataset):
             "test": "webvid_validation_success_full.tsv",
         }
         metadata = pd.read_csv(
-            os.path.join(META_DATA_DIR, split_files[self.split]),
+            os.path.join(meta_data_dir(), split_files[self.split]),
             sep="\t",
             header=None,
             names=["caption", "vid"],
