@@ -73,8 +73,10 @@ def main() -> None:
         "object_mask": np.ones((global_b, f, k), np.float32),
     }
     params = model.init(rng, batch)
+    block = int(os.environ.get("BENCH_LOCAL_SEGMENT", 0))
     loss = GlobalLocalLoss(
-        use_local=True, use_global=True, coef=1.0, focal_type="equal"
+        use_local=True, use_global=True, coef=1.0, focal_type="equal",
+        local_block_segment=block,
     )
     tx = make_optimizer(lr=1e-5)
     state = TrainState.create(params, tx)

@@ -36,14 +36,30 @@ def rwa_loss(
     s_mask=None,
     lambda_softmax: float = 20.0,
     focal_type: str = "prob",
+    block_segment: int = 0,
 ):
     """Region-word alignment loss: KL(softmax(lambda*scores) || ~identity)
     (reference model/loss.py:105-116).
 
     im: (B, R, D) local region embeds; s: (B, W, D) local word embeds;
-    im_mask/s_mask: additive masks (0 / -100).
+    im_mask/s_mask: additive masks (0 / -100). `block_segment` > 0 computes
+    the score matrix in differentiable scan blocks — bounds the (B, B, W, D)
+    cross-attention intermediates for large global batches (framework
+    extension; the reference always materializes the full tensor).
     """
-    scores = xattn_score(im, s, im_mask, s_mask, lambda_softmax, focal_type)
+    if block_segment and im.shape[0] > block_segment and im.shape[0] % block_segment == 0:
+        from demovlp_tpu.ops.xattn import xattn_score_blockwise
+
+        if s_mask is None:
+            s_mask = jnp.zeros(s.shape[:2], dtype=im.dtype)
+        scores = xattn_score_blockwise(
+            im, s, im_mask, s_mask,
+            segment=block_segment,
+            lambda_softmax=lambda_softmax,
+            focal_type=focal_type,
+        )
+    else:
+        scores = xattn_score(im, s, im_mask, s_mask, lambda_softmax, focal_type)
     labels = jnp.eye(im.shape[0], dtype=scores.dtype)
     pred = jax.nn.softmax(scores * lambda_softmax, axis=1)
     loss = pred * (
@@ -93,11 +109,13 @@ class RWALoss:
     focal_type: str = "prob"
     margin: float = 0.0  # parity field; unused (reference never uses it)
     max_violation: bool = False  # parity field; unused
+    block_segment: int = 0  # framework extension: blockwise score matrix
 
     def __call__(self, im, s, im_mask, s_lens=None, s_mask=None):
         # s_lens accepted for call-surface parity (reference threads text
         # lengths through but never uses them, loss.py:294-330).
-        return rwa_loss(im, s, im_mask, s_mask, self.lambda_softmax, self.focal_type)
+        return rwa_loss(im, s, im_mask, s_mask, self.lambda_softmax,
+                        self.focal_type, self.block_segment)
 
     def get_sim(self, im, s, im_mask, s_lens=None, s_mask=None):
         return xattn_score(im, s, im_mask, s_mask, self.lambda_softmax, self.focal_type)
@@ -120,6 +138,7 @@ class GlobalLocalLoss:
     use_local: bool = True
     use_global: bool = True
     coef: float = 1000.0
+    local_block_segment: int = 0  # framework extension (see rwa_loss)
     global_loss: NormSoftmaxLoss = field(init=False)
     local_loss: RWALoss = field(init=False)
 
@@ -128,7 +147,8 @@ class GlobalLocalLoss:
         object.__setattr__(
             self,
             "local_loss",
-            RWALoss(self.lambda_softmax, self.focal_type, self.margin, self.max_violation),
+            RWALoss(self.lambda_softmax, self.focal_type, self.margin,
+                    self.max_violation, self.local_block_segment),
         )
 
     def __call__(self, global_sim, local_im, local_s, local_im_mask, local_s_lens, local_s_mask):
