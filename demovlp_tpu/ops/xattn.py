@@ -198,6 +198,15 @@ def xattn_score_blockwise(
     img_blocks = images.reshape(n_blocks, segment, *images.shape[1:])
     mask_blocks = img_mask.reshape(n_blocks, segment, img_mask.shape[1])
 
+    # remat each block: without this, grad-of-scan stacks every block's
+    # (segment, n_cap, Lq, D) residuals — the memory the blocking exists
+    # to avoid. Backward recomputes one block at a time instead.
+    score_fn = jax.checkpoint(
+        functools.partial(
+            xattn_score, lambda_softmax=lambda_softmax, focal_type=focal_type
+        )
+    )
+
     if cap_segment and cap_segment < n_cap:
         assert n_cap % cap_segment == 0, (n_cap, cap_segment)
         m_blocks = n_cap // cap_segment
@@ -207,9 +216,7 @@ def xattn_score_blockwise(
         def tile_fn(imgs, masks):
             def inner(carry, cblk):
                 caps, cmasks = cblk
-                sims = xattn_score(
-                    imgs, caps, masks, cmasks, lambda_softmax, focal_type
-                )
+                sims = score_fn(imgs, caps, masks, cmasks)
                 return carry, sims
 
             _, tiles = jax.lax.scan(inner, None, (cap_blocks, cmask_blocks))
@@ -224,9 +231,7 @@ def xattn_score_blockwise(
 
         def block_fn(carry, blk):
             imgs, masks = blk
-            sims = xattn_score(
-                imgs, captions, masks, cap_mask, lambda_softmax, focal_type
-            )
+            sims = score_fn(imgs, captions, masks, cap_mask)
             return carry, sims
 
     _, sims = jax.lax.scan(block_fn, None, (img_blocks, mask_blocks))
