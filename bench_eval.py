@@ -35,7 +35,7 @@ def main() -> None:
     n = int(os.environ.get("EVAL_N", 1000))
     r, w, d = 240, 99, 256
     segment = int(os.environ.get("EVAL_SEGMENT", 64))
-    backend = os.environ.get("EVAL_BACKEND", "xla")
+    backend = os.environ.get("EVAL_BACKEND", "auto")  # auto -> pallas on TPU
     xattn.set_backend(backend)
 
     rng = np.random.RandomState(0)

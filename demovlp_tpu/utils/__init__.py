@@ -7,6 +7,7 @@ from demovlp_tpu.utils.io import (
     save_jsonl,
     merge_dicts,
     flat_list_of_lists,
+    inf_loop,
     replace_nested_dict_item,
 )
 from demovlp_tpu.utils.logging import setup_logging, get_logger
@@ -21,6 +22,7 @@ __all__ = [
     "save_jsonl",
     "merge_dicts",
     "flat_list_of_lists",
+    "inf_loop",
     "replace_nested_dict_item",
     "setup_logging",
     "get_logger",

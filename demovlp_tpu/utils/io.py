@@ -59,6 +59,15 @@ def flat_list_of_lists(l: list) -> list:
     return [item for sublist in l for item in sublist]
 
 
+def inf_loop(data_loader):
+    """Endlessly cycle a loader (reference utils/util.py:149) — powers
+    iteration-based (len_epoch) training."""
+    from itertools import repeat
+
+    for loader in repeat(data_loader):
+        yield from loader
+
+
 def compute_iou(box_a, box_b) -> float:
     """IoU of two xyxy boxes (reference utils/util.py:84)."""
     xa = max(box_a[0], box_b[0])
