@@ -101,3 +101,33 @@ def read_image_regions(npz_path: str, object_num: int):
     """Single-npz (image-as-1-frame-video) variant used by CC3M
     (reference ConceptualCaptions_dataset.py:218-267)."""
     return select_regions([load_frame_regions(npz_path)], object_num)
+
+
+def read_object_topk(
+    object_dir: str,
+    frame_idxs: Sequence[int],
+    top_k: int = 20,
+    unique_classes: bool = False,
+) -> np.ndarray:
+    """Legacy maskless top-k reader (reference base/base_dataset.py:138-204):
+    per frame, confidence-sorted regions, optionally deduped by detector
+    class (`v=2` mode), edge-padded then cut to top_k; unreadable frames
+    fall back to an all-ones feature block. Returns (F, top_k, 2054)."""
+    out = np.ones((len(frame_idxs), top_k, REGION_DIM), dtype=np.float32)
+    for i, idx in enumerate(frame_idxs):
+        path = os.path.join(object_dir, f"{idx}.npz")
+        try:
+            fr = load_frame_regions(path)
+        except OSError:
+            continue  # reference: full-1.0 tensor for unreadable frames
+        feat, geom, ids = fr["feat"], fr["geometry"], fr["ids"]
+        if unique_classes:
+            _, uniq = np.unique(ids, return_index=True)
+            feat, geom = feat[uniq], geom[uniq]
+        n = feat.shape[0]
+        if n < top_k:
+            feat = np.pad(feat, ((0, top_k - n), (0, 0)), "edge")
+            geom = np.pad(geom, ((0, top_k - n), (0, 0)), "edge")
+        out[i, :, :FEAT_DIM] = feat[:top_k]
+        out[i, :, FEAT_DIM:] = geom[:top_k]
+    return out

@@ -238,3 +238,19 @@ def test_registry_has_all_reference_datasets():
         "LSMDCObjectSelect", "LSMDCMCObjectSelect", "TGIFFrameObjectSelect",
     }
     assert expected <= set(DATASET_REGISTRY)
+
+
+def test_read_object_topk_legacy(tmp_path):
+    from demovlp_tpu.data.regions import read_object_topk
+
+    vdir = _make_video_dir(tmp_path, "legacy", n_frames=2, n_regions=5)
+    out = read_object_topk(str(vdir), [0, 1], top_k=8)
+    assert out.shape == (2, 8, REGION_DIM)
+    # padded rows repeat the last region (edge pad), frames readable
+    np.testing.assert_array_equal(out[0, 5], out[0, 4])
+    # missing frame -> all-ones block (reference fallback)
+    out2 = read_object_topk(str(vdir), [0, 99], top_k=4)
+    np.testing.assert_array_equal(out2[1], np.ones((4, REGION_DIM), np.float32))
+    # unique-classes mode keeps one region per detector class
+    out3 = read_object_topk(str(vdir), [0], top_k=4, unique_classes=True)
+    assert out3.shape == (1, 4, REGION_DIM)
