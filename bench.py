@@ -4,8 +4,8 @@ Measures the full SPMD train step (both towers forward+backward + AdamW) on
 the reference's pre-train workload — 1 frame x 30 regions, global+local (RWA)
 contrastive loss, ViT-B region tower + DistilBERT
 (configs/pt/o2t-cl-local-select-loss-cc.json:38,66,106-107). Default per-chip
-batch is 256 (v5e is underutilized at the reference's 128-per-GPU envelope;
-BENCH_BATCH=128 reproduces the envelope number).
+batch is 128 (matching the reference's per-device envelope; the O(B^2)
+local RWA loss makes larger per-chip batches slower per pair).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no throughput numbers (BASELINE.json "published": {}),
@@ -24,11 +24,13 @@ import time
 import numpy as np
 
 
-# round-1 recorded numbers on one v5e chip (f=1, k=30, bfloat16, idle host):
-#   b=128 (reference per-GPU envelope): 28629.18 pairs/s/chip
-#   b=256 (default; TPU-sized batch):   60011.11 pairs/s/chip
-# vs_baseline is reported against the default-config round-1 number.
-ROUND1_PAIRS_PER_SEC = 60011.11
+# Round-1 v5e-1 honest numbers (f=1, k=30, bfloat16; host-fetch fenced):
+#   b=128: 1160 pairs/s/chip  <- default (the O(B^2) local loss favors it)
+#   b=256: 746   b=512(blockwise): 462
+# (Earlier recorded figures of 28k-171k were timing artifacts: on this remote
+# backend block_until_ready returns before execution finishes; the bench now
+# fences with a host fetch.) vs_baseline compares against the b=128 number.
+ROUND1_PAIRS_PER_SEC = 1160.25
 
 
 def main() -> None:
@@ -50,7 +52,7 @@ def main() -> None:
     from demovlp_tpu.train.state import TrainState
     from demovlp_tpu.train.steps import make_retrieval_train_step
 
-    b = int(os.environ.get("BENCH_BATCH", 256))
+    b = int(os.environ.get("BENCH_BATCH", 128))
     f = int(os.environ.get("BENCH_FRAMES", 1))
     k = int(os.environ.get("BENCH_REGIONS", 30))
     steps = int(os.environ.get("BENCH_STEPS", 10))
@@ -83,15 +85,17 @@ def main() -> None:
     step = make_retrieval_train_step(model, loss, tx, mesh)
     sb = shard_batch(batch, mesh)
 
-    # warmup (compile + 2 steps)
+    # warmup (compile + 2 steps). NOTE: sync by FETCHING the loss scalar —
+    # on remote-execution backends block_until_ready can return while the
+    # computation is still in flight; a host fetch is the only reliable fence.
     state, m = step(state, sb, 1e-5, rng)
     state, m = step(state, sb, 1e-5, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, sb, 1e-5, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # forces the whole state-dependency chain to finish
     dt = time.perf_counter() - t0
 
     pairs_per_sec = global_b * steps / dt
