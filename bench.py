@@ -37,7 +37,7 @@ def main() -> None:
     import jax
 
     # persistent compile cache: repeat bench runs skip the (slow) TPU compile
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/demovlp_jax_cache")
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

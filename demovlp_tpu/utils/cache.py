@@ -9,7 +9,7 @@ def enable_compile_cache(path: str | None = None) -> None:
     import jax
 
     path = path or os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/demovlp_jax_cache"
+        "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
     )
     try:
         jax.config.update("jax_compilation_cache_dir", path)
