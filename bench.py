@@ -36,13 +36,11 @@ ROUND1_PAIRS_PER_SEC = 1160.25
 def main() -> None:
     import jax
 
-    # persistent compile cache: repeat bench runs skip the (slow) TPU compile
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # persistent, runtime-version-keyed compile cache: repeat bench runs skip
+    # the (slow) TPU compile; a libtpu upgrade lands in a fresh subdir
+    from demovlp_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from demovlp_tpu.losses import GlobalLocalLoss
     from demovlp_tpu.models import ObjectRelation

@@ -125,24 +125,56 @@ class RegionDataLoader:
 
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that aborts if the consumer went away (early break
+            on `max_samples_per_epoch` must not leak a blocked producer)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for batch_idx in batches:
-                    items = list(pool.map(self._fetch, batch_idx))
-                    out_q.put(collate(items))
-            out_q.put(sentinel)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self._fetch, batch_idx))
+                        if not _put(collate(items)):
+                            return
+            except BaseException as exc:  # surface to the consumer, don't hang it
+                _put(exc)
+                return
+            _put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
 
         def gen():
-            while True:
-                item = out_q.get()
-                if item is sentinel:
-                    break
-                yield item
-            thread.join()
+            try:
+                while True:
+                    item = out_q.get()
+                    if item is sentinel:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                # runs on normal exhaustion AND on early abandonment
+                # (GeneratorExit): release a producer blocked on a full queue,
+                # then reap the thread + its pool
+                stop.set()
+                try:
+                    while True:
+                        out_q.get_nowait()
+                except queue.Empty:
+                    pass
+                thread.join(timeout=30)
 
         return gen()
 

@@ -6,7 +6,12 @@ json|txt — SURVEY.md §2 #28). Those files are third-party dataset artifacts,
 so this framework pulls them from an existing checkout / download instead of
 vendoring them:
 
-    python scripts/fetch_meta_data.py --src /path/to/DemoVLP/meta_data
+    python scripts/fetch_meta_data.py [--src /path/to/DemoVLP/meta_data]
+
+The small split files are also vendored in-repo under ./meta_data (matching
+the reference, which ships them in-tree); this script refreshes them from a
+checkout or pulls the 4 large train files the reference marks as missing
+(.MISSING_LARGE_BLOBS) once you have a full download.
 
 Only the known split files are copied; anything missing is reported so you
 know which datasets are usable.
@@ -52,7 +57,11 @@ EXPECTED = [
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--src", required=True, help="source meta_data directory")
+    ap.add_argument(
+        "--src",
+        default="/root/reference/meta_data",
+        help="source meta_data directory (defaults to the mounted reference checkout)",
+    )
     ap.add_argument("--dst", default="./meta_data")
     args = ap.parse_args()
 

@@ -47,3 +47,46 @@ def test_different_seed_different_stream():
     assert any(
         not np.array_equal(ba["object"], bb["object"]) for ba, bb in zip(a, b)
     )
+
+
+def test_early_break_reaps_producer_thread():
+    """Abandoning the iterator early (the max_samples_per_epoch break in
+    train/retrieval.py) must terminate the producer thread + its pool
+    instead of leaking one blocked thread per epoch."""
+    import threading
+
+    ds = _ds(n=64)
+    loader = RegionDataLoader(
+        ds, batch_size=4, shuffle=True, num_workers=2,
+        process_index=0, process_count=1, seed=0, prefetch=1,
+    )
+    baseline = threading.active_count()
+    for epoch in range(50):
+        loader.set_epoch(epoch)
+        it = iter(loader)
+        next(it)  # consume one batch, abandon the rest
+        it.close()  # what the GC / for-loop break does
+    # producers must all have exited; allow transient slack of 1
+    assert threading.active_count() <= baseline + 1, threading.active_count()
+
+
+def test_producer_exception_propagates_to_consumer():
+    """A raising dataset must surface its exception at the consumer promptly
+    instead of hanging the iterator forever."""
+    import pytest
+
+    class Boom:
+        dataset_name = "boom"
+
+        def __len__(self):
+            return 16
+
+        def get_item(self, idx, rng):
+            raise RuntimeError("corrupt shard")
+
+    loader = RegionDataLoader(
+        Boom(), batch_size=4, shuffle=False, num_workers=2,
+        process_index=0, process_count=1, seed=0,
+    )
+    with pytest.raises(RuntimeError, match="corrupt shard"):
+        list(loader)
