@@ -55,6 +55,13 @@ def main() -> None:
     k = int(os.environ.get("BENCH_REGIONS", 30))
     steps = int(os.environ.get("BENCH_STEPS", 10))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # ablation knobs for perf decomposition (profile_step.py-style isolated
+    # jits mis-time on the remote backend; ablating the real donating step
+    # is the reliable probe)
+    use_local = os.environ.get("BENCH_USE_LOCAL", "1") == "1"
+    text_len = int(os.environ.get("BENCH_TEXT_LEN", 100))
+    obj_depth = int(os.environ.get("BENCH_OBJ_DEPTH", 12))
+    text_layers = int(os.environ.get("BENCH_TEXT_LAYERS", 6))
 
     import jax.numpy as jnp
 
@@ -62,20 +69,25 @@ def main() -> None:
 
     n_dev = len(jax.devices())
     mesh = create_mesh()
-    model = ObjectRelation(object_num=k, num_frames=f, dtype=dtype)
+    from demovlp_tpu.models.distilbert import DistilBertConfig
+
+    model = ObjectRelation(
+        object_num=k, num_frames=f, dtype=dtype, object_depth=obj_depth,
+        text_config=DistilBertConfig(n_layers=text_layers),
+    )
     rng = jax.random.PRNGKey(0)
     gen = np.random.RandomState(0)
     global_b = b * n_dev
     batch = {
-        "input_ids": gen.randint(1, 30000, size=(global_b, 100)).astype(np.int32),
-        "attention_mask": np.ones((global_b, 100), np.int32),
+        "input_ids": gen.randint(1, 30000, size=(global_b, text_len)).astype(np.int32),
+        "attention_mask": np.ones((global_b, text_len), np.int32),
         "object": gen.randn(global_b, f, k, 2054).astype(np.float32),
         "object_mask": np.ones((global_b, f, k), np.float32),
     }
     params = model.init(rng, batch)
     block = int(os.environ.get("BENCH_LOCAL_SEGMENT", 0))
     loss = GlobalLocalLoss(
-        use_local=True, use_global=True, coef=1.0, focal_type="equal",
+        use_local=use_local, use_global=True, coef=1.0, focal_type="equal",
         local_block_segment=block,
     )
     tx = make_optimizer(lr=1e-5)

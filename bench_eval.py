@@ -22,12 +22,9 @@ import numpy as np
 def main() -> None:
     import jax
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from demovlp_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from demovlp_tpu.ops import xattn
     from demovlp_tpu.parallel import create_mesh, sharded_local_sims

@@ -152,9 +152,15 @@ def load_pretrained_params(config: ConfigParser, state):
     return state.replace(params=params)
 
 
-def build_writer(config: ConfigParser):
+def build_writer(config: ConfigParser, experiment=None):
     if jax.process_index() != 0:
         return None
+    # reference parity: trainer.neptune routes scalars through an experiment
+    # object in addition to the local sinks (train_dist_multi.py:72-75)
+    if config.get("trainer", {}).get("neptune"):
+        from demovlp_tpu.utils.writer import ExperimentWriter
+
+        return ExperimentWriter(config.log_dir, experiment=experiment)
     return MetricsWriter(config.log_dir)
 
 

@@ -1,16 +1,18 @@
-"""Pallas TPU kernel: fused cross-modal (RWA) attention similarity.
+"""Pallas TPU kernels: fused cross-modal (RWA) attention similarity, forward
+AND backward.
 
 Fuses the whole func_attention -> cosine -> mean pipeline of
 reference model/loss.py:209-330 into one VMEM-resident kernel per
 (context-block x query-block) grid tile, so the (Bc, Bq, Lq, Ls) attention
 tensor is never materialized in HBM. For a B=128 pre-train batch that tensor
-is ~194 MB fp32 per direction — the kernel reduces HBM traffic to the
+is ~194 MB fp32 per direction — on XLA the op is HBM-bandwidth bound (every
+elementwise stage re-streams it); fused, HBM traffic reduces to the
 embedding blocks plus a (Bc, Bq) output tile.
 
-Layout strategy: all matmuls are 2-D (block_c*Ls, D) x (D, block_q*Lq)
-MXU ops; the softmax/renorm run on a (block_c*block_q*Lq, Ls) view so the
-reduction axis is minor. Callers pad Lq and Ls to lane multiples; padding is
-exact (not approximate) because
+Layout strategy: all matmuls are 2-D (block_q*Lq, D) x (D, Ls) MXU ops; the
+softmax/renorm run on a (block_q*Lq, Ls) view so the reduction axis is
+minor. Callers pad Lq and Ls to lane multiples; padding is exact (not
+approximate) because
   * zero query vectors contribute zero to the leaky-relu'd l2norm over Lq
     and produce cos = 0 terms, so sums over Lq are unchanged and the mean
     divides by the REAL Lq;
@@ -19,9 +21,14 @@ exact (not approximate) because
 A re-attention denominator guard (max(sum, 1e-30)) protects the exactly-
 uniform rows padding creates; real rows are untouched.
 
-Gradients: jax.custom_vjp with the Pallas kernel forward and an XLA
-recompute backward (the op is cheap enough to recompute; the win is fused
-forward + no giant residuals).
+Gradients: jax.custom_vjp on the per-direction padded sim with two analytic
+Pallas backward kernels — one accumulating d_context over query blocks, one
+accumulating d_query over context blocks (two kernels because a Pallas TPU
+output block may only be revisited on consecutive grid steps, and the two
+gradients want opposite inner loops). Each recomputes the tile forward in
+VMEM (flash-attention style): no residuals beyond the inputs are saved.
+Gradients w.r.t. padded Lq/Ls positions and padded batch rows are garbage by
+construction and sliced off; the d/dmask cotangent is zero (masks are data).
 """
 from __future__ import annotations
 
@@ -32,6 +39,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-8
+_TINY = 1e-30
 
 
 def _round_up(x: int, m: int) -> int:
@@ -47,6 +57,14 @@ def _pad_axis(x, axis: int, target: int, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _dotT(a, b):
+    """(N, K)ᵀ-contracted product: (N, A) x (N, B) -> (A, B) on the MXU."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# ===================================================================== fwd
 def _fa_sim_kernel(
     ctx_ref, qry_ref, cmask_ref, out_ref, *, lam, focal_equal, ls_real, lq_real
 ):
@@ -59,10 +77,9 @@ def _fa_sim_kernel(
     are plain 2-D MXU ops."""
     bc, ls, d = ctx_ref.shape
     bq, lq, _ = qry_ref.shape
-    eps = 1e-8
 
     q = qry_ref[...]
-    qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + eps)
+    qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + _EPS)
     qn_flat = qn.reshape(bq * lq, d)
     qf = q.reshape(bq * lq, d)
     q_norm = jnp.sqrt(jnp.sum(qf * qf, -1))  # (bq*lq,)
@@ -70,14 +87,14 @@ def _fa_sim_kernel(
     for ci in range(bc):  # static unroll over the context block
         c = ctx_ref[ci]  # (ls, d)
         cmask = cmask_ref[ci, 0, :]  # (ls,)
-        cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + eps)
+        cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + _EPS)
 
         # raw attention (bq*lq, ls): lanes = source positions
         a = jnp.dot(qn_flat, cn.T, preferred_element_type=jnp.float32)
         a = jnp.where(a >= 0, a, 0.1 * a)
         # l2norm over lq: per (q, s) across the lq rows of each query group
         sq = jnp.sum(a.reshape(bq, lq, ls) ** 2, axis=1, keepdims=True)
-        a = (a.reshape(bq, lq, ls) / (jnp.sqrt(sq) + eps)).reshape(bq * lq, ls)
+        a = (a.reshape(bq, lq, ls) / (jnp.sqrt(sq) + _EPS)).reshape(bq * lq, ls)
         a = a + cmask[None, :]
         p = jax.nn.softmax(a * lam, axis=-1)
         if focal_equal:
@@ -85,12 +102,12 @@ def _fa_sim_kernel(
                 p.dtype
             )
             p = h * p
-            p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), 1e-30)
+            p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), _TINY)
         # weighted context (bq*lq, d) then cosine with the raw query
         w = jnp.dot(p, cn, preferred_element_type=jnp.float32)
         num = jnp.sum(w * qf, -1)
         den = jnp.sqrt(jnp.sum(w * w, -1)) * q_norm
-        cos = num / jnp.maximum(den, eps)
+        cos = num / jnp.maximum(den, _EPS)
         sim = jnp.sum(cos.reshape(bq, lq), axis=-1) / lq_real  # (bq,)
         out_ref[0, 0, ci, :] = sim
 
@@ -150,15 +167,293 @@ def _fa_sim_pallas(
     return out.transpose(0, 2, 1, 3).reshape(bc_total, bq_total)
 
 
-def _choose_blocks(ls: int, lq: int, n_c: int, n_q: int) -> Tuple[int, int]:
+# ===================================================================== bwd
+def _fa_bwd_tile(
+    cn, cmask, qn_flat, qf, q_norm, g_col, *, lam, focal_equal, ls_real,
+    lq_real, bq, lq,
+):
+    """Recompute one context item's forward in VMEM and return the backward
+    chain products (dqf_total, dcn_total) for that item against the whole
+    query block. g_col: (bq, 1) incoming cotangent column of sim[ci, :];
+    q_norm: (n, 1) column.
+
+    Mosaic layout note: every per-row scalar is kept as an (n, 1) column —
+    a (bq, lq) -> (bq*lq,) reshape collapses the lane axis, which Mosaic's
+    vector layout inference rejects ("unsupported shape cast"); collapsing
+    leading axes with the lane axis intact is supported."""
+    ls = cn.shape[0]
+    n = bq * lq
+
+    # ---------------- forward recompute (mirrors _fa_sim_kernel exactly)
+    a0 = jnp.dot(qn_flat, cn.T, preferred_element_type=jnp.float32)  # (n, ls)
+    a1 = jnp.where(a0 >= 0, a0, 0.1 * a0)
+    a1_3 = a1.reshape(bq, lq, ls)
+    sq = jnp.sum(a1_3 * a1_3, axis=1, keepdims=True)  # (bq, 1, ls)
+    r = jnp.sqrt(sq) + _EPS
+    a2 = (a1_3 / r).reshape(n, ls)
+    a3 = a2 + cmask[None, :]
+    p = jax.nn.softmax(a3 * lam, axis=-1)
+    # NOTE on guards: XLA compiles x / tiny via reciprocal approximation, so
+    # 0 / 1e-30 evaluates to 0 * inf = NaN under jit. Every "padded row"
+    # guard below is therefore a where-select on the exact zero condition,
+    # never a maximum(denominator, tiny).
+    if focal_equal:
+        h = ((p * ls_real - jnp.sum(p, -1, keepdims=True)) > 0).astype(p.dtype)
+        pt = h * p
+        s = jnp.sum(pt, -1, keepdims=True)
+        s_pos = s > 0
+        ph = jnp.where(s_pos, pt / jnp.where(s_pos, s, 1.0), 0.0)
+    else:
+        ph = p
+    w = jnp.dot(ph, cn, preferred_element_type=jnp.float32)  # (n, d)
+    num = jnp.sum(w * qf, -1, keepdims=True)  # (n, 1)
+    wn = jnp.sqrt(jnp.sum(w * w, -1, keepdims=True))
+    den_raw = wn * q_norm
+    den = jnp.maximum(den_raw, _EPS)
+
+    # ---------------- backward
+    # sim[ci, q] = sum_l cos / lq_real
+    dcos = (
+        jnp.broadcast_to(g_col[:, None, :], (bq, lq, 1)).reshape(n, 1)
+        / lq_real
+    )
+    live = (den_raw >= _EPS).astype(jnp.float32)
+    dnum = dcos / den
+    dden = -dcos * num / (den * den) * live
+    # cos = num / max(|w|*|q|, eps)
+    wn_pos = wn > 0
+    q_pos = q_norm > 0
+    dw = dnum * qf + jnp.where(
+        wn_pos, dden * q_norm / jnp.where(wn_pos, wn, 1.0), 0.0
+    ) * w
+    dqf = dnum * w + jnp.where(
+        q_pos, dden * wn / jnp.where(q_pos, q_norm, 1.0), 0.0
+    ) * qf
+
+    # w = ph @ cn
+    dph = jnp.dot(dw, cn.T, preferred_element_type=jnp.float32)  # (n, ls)
+    dcn = _dotT(ph, dw)  # (ls, d)
+
+    if focal_equal:
+        # ph = pt / sum(pt); h is a non-differentiable indicator
+        dot_ps = jnp.sum(dph * ph, -1, keepdims=True)
+        dpt = jnp.where(
+            s_pos, (dph - dot_ps) / jnp.where(s_pos, s, 1.0), 0.0
+        )
+        dp = h * dpt
+    else:
+        dp = dph
+    # softmax over ls at temperature lam
+    da3 = lam * p * (dp - jnp.sum(dp * p, -1, keepdims=True))
+    da2_3 = da3.reshape(bq, lq, ls)
+    # a2 = a1 / (sqrt(sq) + eps), sq = sum_l a1^2. Divisions are sequenced
+    # (never a product of tiny denominators): r^2 * sqrt_sq underflows fp32
+    # to 0 on fully-padded columns and would turn 0/0 into NaN.
+    t = jnp.sum(da2_3 * a1_3, axis=1, keepdims=True)  # (bq, 1, ls)
+    sq_pos = sq > 0
+    sqrt_sq = jnp.where(sq_pos, r - _EPS, 1.0)
+    a2_3 = a1_3 / r
+    ratio = jnp.where(sq_pos, t / r / sqrt_sq, 0.0)
+    da1_3 = da2_3 / r - ratio * a2_3
+    da1 = da1_3.reshape(n, ls)
+    da0 = jnp.where(a0 >= 0, da1, 0.1 * da1)
+    # a0 = qn @ cnᵀ
+    dqn = jnp.dot(da0, cn, preferred_element_type=jnp.float32)  # (n, d)
+    dcn = dcn + _dotT(da0, qn_flat)  # (ls, d)
+
+    # qn = qf / (|qf| + eps)
+    qn_den = q_norm + _EPS
+    dot_qq = jnp.sum(dqn * qf, -1, keepdims=True)
+    coef = jnp.where(
+        q_pos, dot_qq / jnp.where(q_pos, q_norm, 1.0) / (qn_den * qn_den), 0.0
+    )
+    dqf = dqf + dqn / qn_den - coef * qf
+    return dqf, dcn
+
+
+def _cn_to_c_grad(dcn, c):
+    """Backward of cn = c / (|c| + eps), applied once per context item (the
+    map is linear in dcn, so per-tile application + summation is exact)."""
+    c_norm = jnp.sqrt(jnp.sum(c * c, -1, keepdims=True))  # (ls, 1)
+    den = c_norm + _EPS
+    dot_cc = jnp.sum(dcn * c, -1, keepdims=True)
+    c_pos = c_norm > 0
+    coef = jnp.where(
+        c_pos, dot_cc / jnp.where(c_pos, c_norm, 1.0) / (den * den), 0.0
+    )
+    return dcn / den - coef * c
+
+
+def _fa_bwd_dq_kernel(
+    ctx_ref, qry_ref, cmask_ref, g_ref, dq_ref, *, lam, focal_equal,
+    ls_real, lq_real,
+):
+    """d_query tile, accumulated over context blocks (grid = (jq, ic), ic
+    innermost so the output block stays resident)."""
+    bc, ls, d = ctx_ref.shape
+    bq, lq, _ = qry_ref.shape
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    q = qry_ref[...]
+    q_norm_k = jnp.sqrt(jnp.sum(q * q, -1, keepdims=True))
+    qn_flat = (q / (q_norm_k + _EPS)).reshape(bq * lq, d)
+    qf = q.reshape(bq * lq, d)
+    q_norm = q_norm_k.reshape(bq * lq, 1)  # (n, 1) column (Mosaic layout)
+
+    gt = g_ref[0, 0]  # (bq, bc): query axis on sublanes, ctx on lanes
+    acc = jnp.zeros((bq * lq, d), jnp.float32)
+    for ci in range(bc):
+        c = ctx_ref[ci]
+        cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + _EPS)
+        dqf, _ = _fa_bwd_tile(
+            cn, cmask_ref[ci, 0, :], qn_flat, qf, q_norm, gt[:, ci : ci + 1],
+            lam=lam, focal_equal=focal_equal, ls_real=ls_real,
+            lq_real=lq_real, bq=bq, lq=lq,
+        )
+        acc = acc + dqf
+    dq_ref[...] += acc.reshape(bq, lq, d)
+
+
+def _fa_bwd_dc_kernel(
+    ctx_ref, qry_ref, cmask_ref, g_ref, dc_ref, *, lam, focal_equal,
+    ls_real, lq_real,
+):
+    """d_context tile, accumulated over query blocks (grid = (ic, jq), jq
+    innermost)."""
+    bc, ls, d = ctx_ref.shape
+    bq, lq, _ = qry_ref.shape
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dc_ref[...] = jnp.zeros_like(dc_ref)
+
+    q = qry_ref[...]
+    q_norm_k = jnp.sqrt(jnp.sum(q * q, -1, keepdims=True))
+    qn_flat = (q / (q_norm_k + _EPS)).reshape(bq * lq, d)
+    qf = q.reshape(bq * lq, d)
+    q_norm = q_norm_k.reshape(bq * lq, 1)  # (n, 1) column (Mosaic layout)
+
+    gt = g_ref[0, 0]  # (bq, bc)
+    for ci in range(bc):
+        c = ctx_ref[ci]
+        cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + _EPS)
+        _, dcn = _fa_bwd_tile(
+            cn, cmask_ref[ci, 0, :], qn_flat, qf, q_norm, gt[:, ci : ci + 1],
+            lam=lam, focal_equal=focal_equal, ls_real=ls_real,
+            lq_real=lq_real, bq=bq, lq=lq,
+        )
+        dc_ref[ci] += _cn_to_c_grad(dcn, c)
+
+
+def _fa_bwd_pallas(
+    context, query, ctx_mask, g, lam, focal_equal, ls_real, lq_real,
+    block_c: int, block_q: int, interpret: bool = False,
+):
+    """(d_context, d_query) on padded inputs via the two accumulation kernels."""
+    bc_total, ls, d = context.shape
+    bq_total, lq, _ = query.shape
+    n_cb = bc_total // block_c
+    n_qb = bq_total // block_q
+    cmask3 = ctx_mask[:, None, :]
+    # pre-tile g to (n_cb, n_qb, block_q, block_c): trailing dims equal the
+    # block's (Mosaic tiling rule) AND transposed so the kernel can slice a
+    # (block_q, 1) cotangent column without moving the lane axis
+    g4 = g.reshape(n_cb, block_c, n_qb, block_q).transpose(0, 2, 3, 1)
+    common = dict(
+        lam=lam, focal_equal=focal_equal, ls_real=ls_real, lq_real=lq_real
+    )
+    bwd_cost = pl.CostEstimate(
+        flops=6 * bc_total * bq_total * ls * lq * d * 2,
+        bytes_accessed=(bc_total * ls + bq_total * lq) * d * 8
+        + bc_total * bq_total * 4,
+        transcendentals=2 * bc_total * bq_total * lq * ls,
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_fa_bwd_dq_kernel, **common),
+        grid=(n_qb, n_cb),  # ic innermost: accumulate dq[jq] over ctx blocks
+        in_specs=[
+            pl.BlockSpec((block_c, ls, d), lambda jq, ic: (ic, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, lq, d), lambda jq, ic: (jq, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, 1, ls), lambda jq, ic: (ic, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, block_c),
+                         lambda jq, ic: (ic, jq, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, lq, d), lambda jq, ic: (jq, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bq_total, lq, d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=bwd_cost,
+    )(context, query, cmask3, g4)
+
+    dc = pl.pallas_call(
+        functools.partial(_fa_bwd_dc_kernel, **common),
+        grid=(n_cb, n_qb),  # jq innermost: accumulate dc[ic] over query blocks
+        in_specs=[
+            pl.BlockSpec((block_c, ls, d), lambda ic, jq: (ic, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, lq, d), lambda ic, jq: (jq, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_c, 1, ls), lambda ic, jq: (ic, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, block_c),
+                         lambda ic, jq: (ic, jq, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_c, ls, d), lambda ic, jq: (ic, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bc_total, ls, d), jnp.float32),
+        interpret=interpret,
+        cost_estimate=bwd_cost,
+    )(context, query, cmask3, g4)
+    return dc, dq
+
+
+# ============================================================ padded op + vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _padded_direction_sim(
+    context, query, ctx_mask, lam, focal_equal, ls_real, lq_real,
+    block_c, block_q, interpret,
+):
+    return _fa_sim_pallas(
+        context, query, ctx_mask, lam, focal_equal, ls_real, lq_real,
+        block_c, block_q, interpret=interpret,
+    )
+
+
+def _pds_fwd(context, query, ctx_mask, *static):
+    out = _padded_direction_sim(context, query, ctx_mask, *static)
+    return out, (context, query, ctx_mask)
+
+
+def _pds_bwd(lam, focal_equal, ls_real, lq_real, block_c, block_q, interpret,
+             residuals, g):
+    context, query, ctx_mask = residuals
+    dc, dq = _fa_bwd_pallas(
+        context, query, ctx_mask, g, lam, focal_equal, ls_real, lq_real,
+        block_c, block_q, interpret=interpret,
+    )
+    return dc, dq, jnp.zeros_like(ctx_mask)
+
+
+_padded_direction_sim.defvjp(_pds_fwd, _pds_bwd)
+
+
+# ============================================================ blocking + pad
+def _choose_blocks(
+    ls: int, lq: int, n_c: int, n_q: int, budget: int = 160_000
+) -> Tuple[int, int]:
     """Pick tile sizes: the kernel's working set is one (bq*lq, ls) fp32
-    matrix (plus a few copies), so bound bq by a ~2.4 MB budget; bc only
-    controls input-block reuse."""
-    # VMEM must hold double-buffered input blocks AND the working matrices:
-    # qry block bq*lq*d, its normalized copy, the (bq*lq, ls) attention and
-    # its softmax/focal copies. 160k elements (~0.6 MB fp32) per bq*lq*max
-    # keeps the scoped total well under the 16 MB limit.
-    budget = 160_000  # elements
+    matrix (plus a few copies), so bound bq by an element budget; bc only
+    controls input-block reuse. The backward keeps ~3x as many live
+    matrices, so it passes a smaller budget."""
     dim = 256
     bq = 1
     for cand in (16, 8, 4, 2, 1):
@@ -172,15 +467,20 @@ def _choose_blocks(ls: int, lq: int, n_c: int, n_q: int) -> Tuple[int, int]:
 def _direction_sim(
     context, query, ctx_mask, lam, focal_equal, interpret=False
 ):
-    """Padded + blocked wrapper around the kernel: sim (n_ctx, n_query)."""
+    """Padded + blocked wrapper around the kernels: sim (n_ctx, n_query),
+    differentiable w.r.t. context and query."""
     n_c, ls_real, d = context.shape
     n_q, lq_real, _ = query.shape
     # both padded axes keep 128 alignment: ls is the lane (minor) axis, and
     # 8-aligned-only lq was observed to blow up Mosaic compile times
     ls = _round_up(max(ls_real, 8), 128)
     lq = _round_up(max(lq_real, 8), 128)
-    # batch axes to a block multiple
-    block_c, block_q = _choose_blocks(ls, lq, _round_up(n_c, 8), _round_up(n_q, 8))
+    # batch axes to a block multiple; backward gets a tighter VMEM budget
+    # (it keeps ~3x the live matrices), so block on the smaller choice and
+    # share it between fwd and bwd (the vjp must see one static blocking)
+    block_c, block_q = _choose_blocks(
+        ls, lq, _round_up(n_c, 8), _round_up(n_q, 8), budget=140_000
+    )
     n_c_pad = _round_up(n_c, block_c)
     n_q_pad = _round_up(n_q, block_q)
 
@@ -189,14 +489,14 @@ def _direction_sim(
     cm = _pad_axis(
         _pad_axis(ctx_mask.astype(jnp.float32), 1, ls, value=-100.0), 0, n_c_pad
     )
-    sim = _fa_sim_pallas(
+    sim = _padded_direction_sim(
         ctx, qry, cm, lam, focal_equal, ls_real, lq_real,
-        block_c, block_q, interpret=interpret,
+        block_c, block_q, interpret,
     )
     return sim[:n_c, :n_q]
 
 
-def _xattn_score_pallas_fwd_impl(
+def _xattn_score_pallas_impl(
     images, captions, img_mask, cap_mask, lam, focal_equal, interpret=False
 ):
     i2t = _direction_sim(images, captions, img_mask, lam, focal_equal, interpret)
@@ -204,42 +504,13 @@ def _xattn_score_pallas_fwd_impl(
     return t2i.T + i2t
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _xattn_score_pallas(images, captions, img_mask, cap_mask, lam, focal_equal):
-    return _xattn_score_pallas_fwd_impl(
-        images, captions, img_mask, cap_mask, lam, focal_equal
-    )
-
-
-def _fwd(images, captions, img_mask, cap_mask, lam, focal_equal):
-    out = _xattn_score_pallas(images, captions, img_mask, cap_mask, lam, focal_equal)
-    return out, (images, captions, img_mask, cap_mask)
-
-
-def _bwd(lam, focal_equal, residuals, g):
-    from demovlp_tpu.ops.xattn import _xattn_score_xla
-
-    images, captions, img_mask, cap_mask = residuals
-    focal_type = "equal" if focal_equal else "prob"
-    _, vjp = jax.vjp(
-        lambda im, ca: _xattn_score_xla(im, ca, img_mask, cap_mask, lam, focal_type),
-        images,
-        captions,
-    )
-    d_im, d_ca = vjp(g)
-    return d_im, d_ca, None, None
-
-
-_xattn_score_pallas.defvjp(_fwd, _bwd)
-
-
 def xattn_score_pallas(
     images, captions, img_mask, cap_mask,
     lambda_softmax: float = 20.0, focal_type: str = "prob",
 ):
     """Drop-in replacement for ops.xattn._xattn_score_xla (same semantics,
-    fused Pallas forward, XLA-recompute backward)."""
-    return _xattn_score_pallas(
+    fused Pallas forward and analytic fused Pallas backward)."""
+    return _xattn_score_pallas_impl(
         images, captions, img_mask, cap_mask,
         float(lambda_softmax), focal_type == "equal",
     )
@@ -249,8 +520,8 @@ def xattn_score_pallas_interpret(
     images, captions, img_mask, cap_mask,
     lambda_softmax: float = 20.0, focal_type: str = "prob",
 ):
-    """Interpreter-mode variant for CPU tests."""
-    return _xattn_score_pallas_fwd_impl(
+    """Interpreter-mode variant for CPU tests (forward and backward)."""
+    return _xattn_score_pallas_impl(
         images, captions, img_mask, cap_mask,
         float(lambda_softmax), focal_type == "equal", interpret=True,
     )

@@ -77,8 +77,15 @@ def sharded_local_sims(
                 constant_values=-100.0,
             )
     n_dev = mesh.shape[DATA_AXIS]
-    # pad the gallery axis so each device gets an equal multiple of `segment`
-    per_dev = -(-n_img // (n_dev * segment)) * segment
+    # pad the gallery axis to an equal per-device share only (< n_dev fake
+    # rows); the scan segment is then shrunk to the largest divisor of the
+    # share, instead of padding the share up to a segment multiple (which
+    # wasted up to n_dev*segment-1 rows of eval compute at MSRVTT-1k scale)
+    per_dev = -(-n_img // n_dev)
+    if backend != "pallas":
+        segment = min(segment, per_dev)
+        while per_dev % segment:
+            segment -= 1
     # pad masks with -100 (all-padded row) so fake galleries are inert
     total = per_dev * n_dev
     img_feats_p = _pad_to(img_feats, total)

@@ -2,24 +2,46 @@
 trainer/trainer_dist.py:704-893): each item = 1 video + 5 option texts; the
 video tensors are expanded to the option count, scored by global + local
 similarity, argmax over the 5 options. The reference merged per-rank results
-through JSON temp files and a barrier (:831-849); here every host simply
-evaluates its loader shard and results are concatenated in-process (multi-
-host merge is unnecessary because MC eval is tiny: run it on one host with
-the loader unsharded — the jitted step is replicated over the local mesh).
+through JSON temp files and a barrier (:831-849); here each host evaluates
+its (process-sharded) loader shard and predictions are merged with a host
+all-gather of (dataset-index, prediction) pairs — MC ids are strings, but
+every host holds identical dataset metadata, so the dataset order provides
+a shared integer key space. Correct for any process count.
 """
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import numpy as np
 
+from demovlp_tpu.parallel.mesh import host_allgather
 from demovlp_tpu.train.base_trainer import BaseTrainer
 from demovlp_tpu.train.state import create_train_state
 from demovlp_tpu.train.steps import make_mc_eval_step, prepare_batch
 
 logger = logging.getLogger(__name__)
+
+
+def merge_mc_predictions(
+    preds: Dict[Any, int],
+    metadata_ids: List[Any],
+    allgather: Callable = host_allgather,
+) -> Dict[Any, int]:
+    """Merge per-host {mc_id: pred} maps across processes (the TPU-native
+    replacement for the reference's per-rank JSON files + barrier,
+    trainer/trainer_dist.py:831-849). `metadata_ids` is the dataset's id
+    sequence, identical on every host, giving string ids a shared integer
+    encoding that `host_allgather` can ship."""
+    id2idx = {mc_id: i for i, mc_id in enumerate(metadata_ids)}
+    local_idx = np.asarray([id2idx[k] for k in preds], np.int64)
+    local_pred = np.asarray(list(preds.values()), np.int64)
+    all_idx = allgather(local_idx)
+    all_pred = allgather(local_pred)
+    return {
+        metadata_ids[int(i)]: int(p) for i, p in zip(all_idx, all_pred)
+    }
 
 
 class MCTrainer(BaseTrainer):
@@ -83,6 +105,11 @@ class MCTrainer(BaseTrainer):
                 arrays["object_mask"] = np.repeat(data["object_mask"], n_opt, axis=0)
                 scores = np.asarray(self._eval_step(params, arrays))
                 preds[data["mc_id"][0]] = int(scores.argmax())
+            # id2answer's insertion order = dataset metadata order, identical
+            # on every host (and defined by all MC datasets incl. synthetic)
+            preds = merge_mc_predictions(
+                preds, list(self.valid_gt_id2answer[dl_idx])
+            )
             pred_id2answer[dl_idx] = preds
 
             dl_metrics: Dict[str, Any] = {}

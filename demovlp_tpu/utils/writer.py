@@ -56,3 +56,29 @@ class MetricsWriter:
         self._fh.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class ExperimentWriter(MetricsWriter):
+    """Experiment-object scalar sink (reference surface parity: when
+    `trainer.neptune` is set, the reference passes its sacred Experiment as
+    the writer, train_dist_multi.py:16-19,72-75). sacred/neptune are not
+    installed here, so this adapter keeps the JSONL/TB sinks and forwards
+    each scalar to any attached experiment object that duck-types
+    `log_scalar(name, value, step)` (sacred's Experiment API). With no
+    experiment attached it degrades to MetricsWriter — a config-gated no-op
+    for the neptune path rather than a crash."""
+
+    def __init__(self, log_dir, experiment=None, use_tensorboard: bool = True):
+        super().__init__(log_dir, use_tensorboard=use_tensorboard)
+        self.experiment = experiment
+
+    def log_scalar(self, tag: str, value, step: Optional[int] = None) -> None:
+        super().log_scalar(tag, value, step)
+        if self.experiment is not None:
+            try:
+                name = f"{self.mode}/{tag}" if self.mode else tag
+                self.experiment.log_scalar(
+                    name, float(value), self.step if step is None else step
+                )
+            except Exception:  # experiment backends must never kill training
+                pass

@@ -238,3 +238,43 @@ def test_sharded_local_sims_matches_dense(mesh):
                     jnp.array(lmask), 20.0, "equal")
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_model_axis_mesh_train_step():
+    """The 'model' mesh axis > 1 (TP headroom) actually exercised: the full
+    retrieval train step on a (data=4, model=2) mesh must reproduce the
+    single-device full-batch loss (params replicated over 'model')."""
+    import jax.numpy as jnp
+    from demovlp_tpu.train.steps import make_retrieval_train_step
+    from demovlp_tpu.train.state import TrainState
+    from demovlp_tpu.parallel.mesh import shard_batch
+
+    mesh42 = create_mesh(data=4, model=2)
+    assert mesh42.shape["model"] == 2
+
+    model = ObjectRelation(
+        object_num=K, num_frames=F, projection_dim=16, text_config=TINY_TEXT,
+        object_embed_dim=32, object_depth=2, object_heads=4,
+    )
+    loss = GlobalLocalLoss(use_local=True, use_global=True,
+                           coef=1.0, focal_type="equal")
+    rng = jax.random.PRNGKey(1)
+    b = 8
+    batch = {
+        "input_ids": np.tile(np.arange(100, dtype=np.int32), (b, 1)) % 1000 + 1,
+        "attention_mask": np.ones((b, 100), np.int32),
+        "object": np.random.RandomState(1).randn(b, F, K, 2054).astype(np.float32),
+        "object_mask": np.ones((b, F, K), np.float32),
+    }
+    params = model.init(rng, batch)
+    tx = make_optimizer(lr=1e-3)
+    state42 = TrainState.create(jax.tree_util.tree_map(jnp.copy, params), tx)
+    state1 = TrainState.create(params, tx)
+
+    step42 = make_retrieval_train_step(model, loss, tx, mesh42)
+    _, m42 = step42(state42, shard_batch(batch, mesh42), 1e-3, rng)
+
+    single = create_mesh(devices=np.array(jax.devices()[:1]))
+    step1 = make_retrieval_train_step(model, loss, tx, single)
+    _, m1 = step1(state1, batch, 1e-3, rng)
+    np.testing.assert_allclose(float(m42["loss"]), float(m1["loss"]), rtol=1e-4)

@@ -53,3 +53,35 @@ def test_round_up():
     assert _round_up(99, 128) == 128
     assert _round_up(128, 128) == 128
     assert _round_up(129, 128) == 256
+
+
+@pytest.mark.parametrize("focal", ["prob", "equal"])
+@pytest.mark.parametrize("shape", [(6, 5, 7, 9), (8, 8, 30, 20)])
+def test_pallas_xattn_grads_match_xla(shape, focal):
+    """The analytic fused Pallas backward must reproduce jax.grad of the XLA
+    implementation (random cotangent, ragged masks)."""
+    import jax
+
+    ni, nc, r, w = shape
+    img, lang, imask, lmask = _inputs(ni, nc, r, w, seed=3)
+    gw = jnp.array(np.random.RandomState(5).randn(ni, nc).astype(np.float32))
+    imask_j, lmask_j = jnp.array(imask), jnp.array(lmask)
+
+    def loss_xla(im, la):
+        return jnp.sum(_xattn_score_xla(im, la, imask_j, lmask_j, 20.0, focal) * gw)
+
+    def loss_pal(im, la):
+        return jnp.sum(
+            xattn_score_pallas_interpret(im, la, imask_j, lmask_j, 20.0, focal) * gw
+        )
+
+    gx_im, gx_la = jax.grad(loss_xla, argnums=(0, 1))(jnp.array(img), jnp.array(lang))
+    gp_im, gp_la = jax.grad(loss_pal, argnums=(0, 1))(jnp.array(img), jnp.array(lang))
+    assert np.isfinite(np.asarray(gp_im)).all()
+    assert np.isfinite(np.asarray(gp_la)).all()
+    np.testing.assert_allclose(
+        np.asarray(gp_im), np.asarray(gx_im), rtol=1e-3, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_la), np.asarray(gx_la), rtol=1e-3, atol=3e-5
+    )

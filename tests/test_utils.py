@@ -88,3 +88,34 @@ def test_retrieval_vis_writes_html(tmp_path):
     vis2 = RetrievalVis("exp", str(tmp_path / "web2"), vis_vid_freq=2, num_samples=3)
     vis2.visualize_ranking(sims, epoch=1, meta=meta, nested_metrics={})
     assert not (tmp_path / "web2" / "index.html").exists()
+
+
+def test_experiment_writer_forwards_scalars(tmp_path):
+    """trainer.neptune parity: scalars reach the attached experiment object
+    (sacred Experiment duck-type) AND the JSONL sink; a broken experiment
+    must not raise."""
+    from demovlp_tpu.utils.writer import ExperimentWriter
+
+    class FakeExperiment:
+        def __init__(self):
+            self.calls = []
+
+        def log_scalar(self, name, value, step):
+            self.calls.append((name, value, step))
+
+    exp = FakeExperiment()
+    w = ExperimentWriter(tmp_path, experiment=exp, use_tensorboard=False)
+    w.set_step(0, "train")
+    w.log_scalar("loss", 1.5)
+    w.close()
+    assert exp.calls == [("train/loss", 1.5, 0)]
+    lines = (tmp_path / "scalars.jsonl").read_text().strip().splitlines()
+    assert any('"train/loss"' in ln for ln in lines)
+
+    class Broken:
+        def log_scalar(self, *a):
+            raise RuntimeError("backend down")
+
+    w2 = ExperimentWriter(tmp_path, experiment=Broken(), use_tensorboard=False)
+    w2.log_scalar("loss", 2.0)  # must not raise
+    w2.close()
