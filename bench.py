@@ -62,6 +62,12 @@ def main() -> None:
     text_len = int(os.environ.get("BENCH_TEXT_LEN", 100))
     obj_depth = int(os.environ.get("BENCH_OBJ_DEPTH", 12))
     text_layers = int(os.environ.get("BENCH_TEXT_LAYERS", 6))
+    deterministic = os.environ.get("BENCH_DETERMINISTIC", "0") == "1"
+    # rbg dropout masks (measured +12% over threefry at b=128 on v5e);
+    # override with BENCH_PRNG=threefry
+    prng = os.environ.get("BENCH_PRNG", "rbg")
+    if prng and prng != "threefry":
+        jax.config.update("jax_default_prng_impl", prng)
 
     import jax.numpy as jnp
 
@@ -74,6 +80,7 @@ def main() -> None:
     model = ObjectRelation(
         object_num=k, num_frames=f, dtype=dtype, object_depth=obj_depth,
         text_config=DistilBertConfig(n_layers=text_layers),
+        attn_impl=os.environ.get("BENCH_ATTN", "xla"),
     )
     rng = jax.random.PRNGKey(0)
     gen = np.random.RandomState(0)
@@ -92,7 +99,9 @@ def main() -> None:
     )
     tx = make_optimizer(lr=1e-5)
     state = TrainState.create(params, tx)
-    step = make_retrieval_train_step(model, loss, tx, mesh)
+    step = make_retrieval_train_step(
+        model, loss, tx, mesh, deterministic=deterministic
+    )
     sb = shard_batch(batch, mesh)
 
     # warmup (compile + 2 steps). NOTE: sync by FETCHING the loss scalar —

@@ -44,6 +44,23 @@ _EPS = 1e-8
 _TINY = 1e-30
 
 
+def _exp_softmax(a, lam):
+    """softmax(lam * a) without the max-subtraction pass: a = l2-normalized
+    attention (|a| <= ~1) plus a -100 additive mask, so lam*a ∈ [-2020, ~20]
+    — exp() is exact-fp32-safe (masked lanes underflow to exactly 0). Rows
+    that are fully masked (padded context items) get p = 0 instead of
+    uniform; their downstream sim is 0 either way and, unlike a 0/0 NaN,
+    zeros cannot contaminate the backward matmuls."""
+    e = jnp.exp(a * lam)
+    s = jnp.sum(e, -1, keepdims=True)
+    s_pos = s > 0
+    return jnp.where(s_pos, e / jnp.where(s_pos, s, 1.0), 0.0)
+
+
+def _normalize_rows(x, axis=-1):
+    return x / (jnp.sqrt(jnp.sum(x * x, axis, keepdims=True)) + _EPS)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -77,33 +94,41 @@ def _fa_sim_kernel(
     are plain 2-D MXU ops."""
     bc, ls, d = ctx_ref.shape
     bq, lq, _ = qry_ref.shape
+    n = bq * lq
 
     q = qry_ref[...]
-    qn = q / (jnp.sqrt(jnp.sum(q * q, -1, keepdims=True)) + _EPS)
-    qn_flat = qn.reshape(bq * lq, d)
-    qf = q.reshape(bq * lq, d)
-    q_norm = jnp.sqrt(jnp.sum(qf * qf, -1))  # (bq*lq,)
+    qn_flat = _normalize_rows(q).reshape(n, d)
+    qf = q.reshape(n, d)
+    q_norm = jnp.sqrt(jnp.sum(qf * qf, -1))  # (n,)
+
+    # one big raw-attention matmul for the whole context block: the per-ci
+    # (n, d) x (d, ls) products under-fill the MXU; (n, d) x (d, bc*ls) is
+    # bc-fold wider and per-ci views are aligned lane slices
+    cn_all = _normalize_rows(ctx_ref[...])  # (bc, ls, d)
+    a_all = jnp.dot(
+        qn_flat, cn_all.reshape(bc * ls, d).T, preferred_element_type=jnp.float32
+    )  # (n, bc*ls)
 
     for ci in range(bc):  # static unroll over the context block
-        c = ctx_ref[ci]  # (ls, d)
         cmask = cmask_ref[ci, 0, :]  # (ls,)
-        cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + _EPS)
+        cn = cn_all[ci]
 
-        # raw attention (bq*lq, ls): lanes = source positions
-        a = jnp.dot(qn_flat, cn.T, preferred_element_type=jnp.float32)
+        a = a_all[:, ci * ls : (ci + 1) * ls]
         a = jnp.where(a >= 0, a, 0.1 * a)
         # l2norm over lq: per (q, s) across the lq rows of each query group
         sq = jnp.sum(a.reshape(bq, lq, ls) ** 2, axis=1, keepdims=True)
-        a = (a.reshape(bq, lq, ls) / (jnp.sqrt(sq) + _EPS)).reshape(bq * lq, ls)
+        a = (a.reshape(bq, lq, ls) / (jnp.sqrt(sq) + _EPS)).reshape(n, ls)
         a = a + cmask[None, :]
-        p = jax.nn.softmax(a * lam, axis=-1)
+        p = _exp_softmax(a, lam)
         if focal_equal:
             h = ((p * ls_real - jnp.sum(p, -1, keepdims=True)) > 0).astype(
                 p.dtype
             )
             p = h * p
-            p = p / jnp.maximum(jnp.sum(p, -1, keepdims=True), _TINY)
-        # weighted context (bq*lq, d) then cosine with the raw query
+            s = jnp.sum(p, -1, keepdims=True)
+            s_pos = s > 0
+            p = jnp.where(s_pos, p / jnp.where(s_pos, s, 1.0), 0.0)
+        # weighted context (n, d) then cosine with the raw query
         w = jnp.dot(p, cn, preferred_element_type=jnp.float32)
         num = jnp.sum(w * qf, -1)
         den = jnp.sqrt(jnp.sum(w * w, -1)) * q_norm
@@ -169,12 +194,13 @@ def _fa_sim_pallas(
 
 # ===================================================================== bwd
 def _fa_bwd_tile(
-    cn, cmask, qn_flat, qf, q_norm, g_col, *, lam, focal_equal, ls_real,
+    cn, cmask, a0, qn_flat, qf, q_norm, g_col, *, lam, focal_equal, ls_real,
     lq_real, bq, lq,
 ):
     """Recompute one context item's forward in VMEM and return the backward
     chain products (dqf_total, dcn_total) for that item against the whole
-    query block. g_col: (bq, 1) incoming cotangent column of sim[ci, :];
+    query block. a0: the (n, ls) raw-attention slice from the per-tile
+    batched matmul; g_col: (bq, 1) incoming cotangent column of sim[ci, :];
     q_norm: (n, 1) column.
 
     Mosaic layout note: every per-row scalar is kept as an (n, 1) column —
@@ -185,14 +211,13 @@ def _fa_bwd_tile(
     n = bq * lq
 
     # ---------------- forward recompute (mirrors _fa_sim_kernel exactly)
-    a0 = jnp.dot(qn_flat, cn.T, preferred_element_type=jnp.float32)  # (n, ls)
     a1 = jnp.where(a0 >= 0, a0, 0.1 * a0)
     a1_3 = a1.reshape(bq, lq, ls)
     sq = jnp.sum(a1_3 * a1_3, axis=1, keepdims=True)  # (bq, 1, ls)
     r = jnp.sqrt(sq) + _EPS
     a2 = (a1_3 / r).reshape(n, ls)
     a3 = a2 + cmask[None, :]
-    p = jax.nn.softmax(a3 * lam, axis=-1)
+    p = _exp_softmax(a3, lam)
     # NOTE on guards: XLA compiles x / tiny via reciprocal approximation, so
     # 0 / 1e-30 evaluates to 0 * inf = NaN under jit. Every "padded row"
     # guard below is therefore a where-select on the exact zero condition,
@@ -232,7 +257,6 @@ def _fa_bwd_tile(
 
     # w = ph @ cn
     dph = jnp.dot(dw, cn.T, preferred_element_type=jnp.float32)  # (n, ls)
-    dcn = _dotT(ph, dw)  # (ls, d)
 
     if focal_equal:
         # ph = pt / sum(pt); h is a non-differentiable indicator
@@ -259,7 +283,11 @@ def _fa_bwd_tile(
     da0 = jnp.where(a0 >= 0, da1, 0.1 * da1)
     # a0 = qn @ cnᵀ
     dqn = jnp.dot(da0, cn, preferred_element_type=jnp.float32)  # (n, d)
-    dcn = dcn + _dotT(da0, qn_flat)  # (ls, d)
+    # dcn = phᵀ·dw + da0ᵀ·qn, stacked along n into one MXU contraction
+    dcn = _dotT(
+        jnp.concatenate([ph, da0], axis=0),
+        jnp.concatenate([dw, qn_flat], axis=0),
+    )  # (ls, d)
 
     # qn = qf / (|qf| + eps)
     qn_den = q_norm + _EPS
@@ -303,13 +331,19 @@ def _fa_bwd_dq_kernel(
     qf = q.reshape(bq * lq, d)
     q_norm = q_norm_k.reshape(bq * lq, 1)  # (n, 1) column (Mosaic layout)
 
+    cn_all = _normalize_rows(ctx_ref[...])  # (bc, ls, d)
+    a_all = jnp.dot(
+        qn_flat, cn_all.reshape(bc * ls, d).T,
+        preferred_element_type=jnp.float32,
+    )  # (n, bc*ls): one batched raw-attention matmul per tile
+
     gt = g_ref[0, 0]  # (bq, bc): query axis on sublanes, ctx on lanes
     acc = jnp.zeros((bq * lq, d), jnp.float32)
     for ci in range(bc):
-        c = ctx_ref[ci]
-        cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + _EPS)
         dqf, _ = _fa_bwd_tile(
-            cn, cmask_ref[ci, 0, :], qn_flat, qf, q_norm, gt[:, ci : ci + 1],
+            cn_all[ci], cmask_ref[ci, 0, :],
+            a_all[:, ci * ls : (ci + 1) * ls],
+            qn_flat, qf, q_norm, gt[:, ci : ci + 1],
             lam=lam, focal_equal=focal_equal, ls_real=ls_real,
             lq_real=lq_real, bq=bq, lq=lq,
         )
@@ -336,16 +370,22 @@ def _fa_bwd_dc_kernel(
     qf = q.reshape(bq * lq, d)
     q_norm = q_norm_k.reshape(bq * lq, 1)  # (n, 1) column (Mosaic layout)
 
+    cn_all = _normalize_rows(ctx_ref[...])  # (bc, ls, d)
+    a_all = jnp.dot(
+        qn_flat, cn_all.reshape(bc * ls, d).T,
+        preferred_element_type=jnp.float32,
+    )  # (n, bc*ls)
+
     gt = g_ref[0, 0]  # (bq, bc)
     for ci in range(bc):
-        c = ctx_ref[ci]
-        cn = c / (jnp.sqrt(jnp.sum(c * c, -1, keepdims=True)) + _EPS)
         _, dcn = _fa_bwd_tile(
-            cn, cmask_ref[ci, 0, :], qn_flat, qf, q_norm, gt[:, ci : ci + 1],
+            cn_all[ci], cmask_ref[ci, 0, :],
+            a_all[:, ci * ls : (ci + 1) * ls],
+            qn_flat, qf, q_norm, gt[:, ci : ci + 1],
             lam=lam, focal_equal=focal_equal, ls_real=ls_real,
             lq_real=lq_real, bq=bq, lq=lq,
         )
-        dc_ref[ci] += _cn_to_c_grad(dcn, c)
+        dc_ref[ci] += _cn_to_c_grad(dcn, ctx_ref[ci])
 
 
 def _fa_bwd_pallas(
@@ -471,10 +511,11 @@ def _direction_sim(
     differentiable w.r.t. context and query."""
     n_c, ls_real, d = context.shape
     n_q, lq_real, _ = query.shape
-    # both padded axes keep 128 alignment: ls is the lane (minor) axis, and
-    # 8-aligned-only lq was observed to blow up Mosaic compile times
+    # ls is the lane (minor) axis: 128 alignment. lq only shapes the row
+    # count (bq*lq sublanes), so 8 alignment suffices — padding it to 128
+    # cost 4x rows (VPU passes AND matmul m-dim) for the 30-region direction
     ls = _round_up(max(ls_real, 8), 128)
-    lq = _round_up(max(lq_real, 8), 128)
+    lq = _round_up(max(lq_real, 8), 8)
     # batch axes to a block multiple; backward gets a tighter VMEM budget
     # (it keeps ~3x the live matrices), so block on the smaller choice and
     # share it between fwd and bwd (the vjp must see one static blocking)

@@ -87,13 +87,17 @@ def mlm_loss_fn(logits, labels, ignore_index: int = -100):
     return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
-def make_retrieval_train_step(model, loss_obj, tx, mesh, mlm_weight: float = 0.0) -> Callable:
+def make_retrieval_train_step(
+    model, loss_obj, tx, mesh, mlm_weight: float = 0.0,
+    deterministic: bool = False,
+) -> Callable:
     def step(state: TrainState, batch, lr, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             out = model.apply(
-                params, batch, deterministic=False, rngs={"dropout": rng}
+                params, batch, deterministic=deterministic,
+                rngs={"dropout": rng},
             )
             total, g, l = _retrieval_losses(loss_obj, out, batch)
             mlm = jnp.zeros((), jnp.float32)
