@@ -64,10 +64,10 @@ def main() -> None:
     text_layers = int(os.environ.get("BENCH_TEXT_LAYERS", 6))
     deterministic = os.environ.get("BENCH_DETERMINISTIC", "0") == "1"
     # rbg dropout masks (measured +12% over threefry at b=128 on v5e);
-    # override with BENCH_PRNG=threefry
-    prng = os.environ.get("BENCH_PRNG", "rbg")
-    if prng and prng != "threefry":
-        jax.config.update("jax_default_prng_impl", prng)
+    # override with BENCH_PRNG=threefry. Scoped to the dropout key like the
+    # trainers (utils/prng.py) — never a global prng-impl flip.
+    os.environ.setdefault("DEMOVLP_PRNG", os.environ.get("BENCH_PRNG", "rbg"))
+    from demovlp_tpu.utils.prng import fast_prng_key
 
     import jax.numpy as jnp
 
@@ -82,7 +82,8 @@ def main() -> None:
         text_config=DistilBertConfig(n_layers=text_layers),
         attn_impl=os.environ.get("BENCH_ATTN", "xla"),
     )
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(0)       # init (threefry, like trainers)
+    step_rng = fast_prng_key(0)       # dropout stream (rbg by default)
     gen = np.random.RandomState(0)
     global_b = b * n_dev
     batch = {
@@ -93,9 +94,15 @@ def main() -> None:
     }
     params = model.init(rng, batch)
     block = int(os.environ.get("BENCH_LOCAL_SEGMENT", 0))
+    # bf16 O(B^2) local-loss pipeline (sims/CE stay f32; ops/xattn.py) — the
+    # shipped pre-train config's setting (configs/pt/...-cc.json "local_dtype"):
+    # 1,458 vs 1,283 pairs/s measured on v5e (BENCH_NOTES.md round 2)
+    local_dtype = os.environ.get("BENCH_LOCAL_DTYPE", "bfloat16")
+    local_remat = os.environ.get("BENCH_LOCAL_REMAT", "0") == "1"
     loss = GlobalLocalLoss(
         use_local=use_local, use_global=True, coef=1.0, focal_type="equal",
-        local_block_segment=block,
+        local_block_segment=block, local_dtype=local_dtype,
+        local_remat=local_remat,
     )
     tx = make_optimizer(lr=1e-5)
     state = TrainState.create(params, tx)
@@ -107,13 +114,13 @@ def main() -> None:
     # warmup (compile + 2 steps). NOTE: sync by FETCHING the loss scalar —
     # on remote-execution backends block_until_ready can return while the
     # computation is still in flight; a host fetch is the only reliable fence.
-    state, m = step(state, sb, 1e-5, rng)
-    state, m = step(state, sb, 1e-5, rng)
+    state, m = step(state, sb, 1e-5, step_rng)
+    state, m = step(state, sb, 1e-5, step_rng)
     float(m["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state, m = step(state, sb, 1e-5, rng)
+        state, m = step(state, sb, 1e-5, step_rng)
     float(m["loss"])  # forces the whole state-dependency chain to finish
     dt = time.perf_counter() - t0
 
@@ -125,7 +132,10 @@ def main() -> None:
             {
                 "metric": "pretrain_pairs_per_sec_per_chip",
                 "value": round(per_chip, 2),
-                "unit": f"pairs/s/chip (b={b},f={f},k={k},{dtype_name})",
+                "unit": (
+                    f"pairs/s/chip (b={b},f={f},k={k},{dtype_name},"
+                    f"local={local_dtype})"
+                ),
                 "vs_baseline": round(vs, 3),
             }
         )

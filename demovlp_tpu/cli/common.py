@@ -26,10 +26,10 @@ logger = logging.getLogger(__name__)
 
 def build_mesh(config: ConfigParser):
     from demovlp_tpu.utils.cache import enable_compile_cache
-    from demovlp_tpu.utils.prng import use_fast_prng
 
     enable_compile_cache()
-    use_fast_prng()  # rbg dropout masks: +12% step throughput on v5e
+    # (dropout rbg keys are created per-trainer via utils.prng.fast_prng_key —
+    # never a global jax_default_prng_impl flip, which leaks across the process)
     setup_distributed()
     backend = config.get("ops", {}).get("xattn_backend")
     if backend:

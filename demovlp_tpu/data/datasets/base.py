@@ -110,6 +110,48 @@ class RegionDataset:
         )
         return self.get_item(item, rng)
 
+    # ---- batch-assembly fast path ---------------------------------------
+    def plan_paths(self, item: int, rng: np.random.Generator):
+        """Frame npz paths for `item`, or None if unreadable (caller
+        resamples). Consumes `rng` exactly like `_load_objects` (frame
+        sampling first) so batched and per-sample decoding produce
+        IDENTICAL samples. Only valid for datasets using the base
+        `_load_objects` (the loader checks)."""
+        object_fp = self._object_path(item)
+        if not os.path.exists(os.path.join(object_fp, "0.npz")):
+            return None
+        vlen = len(os.listdir(object_fp))
+        if vlen < 2:
+            return None
+        frame_idxs = self._frame_indices(vlen, rng)
+        return [os.path.join(object_fp, f"{i}.npz") for i in frame_idxs]
+
+    def plan_item(self, item: int, rng: np.random.Generator):
+        """(paths, non-object fields) mirroring get_item's resample loop —
+        the object decode itself happens later in one native batch call
+        (data/loader.py). Decode failures surface per-row there and fall
+        back to get_item."""
+        item = item % len(self)
+        for _ in range(_MAX_RETRIES):
+            paths = self.plan_paths(item, rng)
+            if paths is not None:
+                break
+            self.resample_count += 1
+            item = int(rng.integers(0, len(self)))
+        else:
+            raise RuntimeError(
+                f"{self.dataset_name}: no readable sample after {_MAX_RETRIES} tries"
+            )
+        data = {
+            "text": self._text(item, rng),
+            "meta": {
+                "paths": self._object_path(item),
+                "dataset": self.dataset_name,
+            },
+        }
+        data.update(self._extras(item))
+        return paths, data
+
     def get_item(self, item: int, rng: np.random.Generator) -> Dict[str, Any]:
         item = item % len(self)
         for _ in range(_MAX_RETRIES):

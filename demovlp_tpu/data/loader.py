@@ -10,6 +10,7 @@ the jitted train step never recompiles.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -110,6 +111,77 @@ class RegionDataLoader:
         )
         return self.dataset.get_item(int(idx), rng)
 
+    def _native_batch_reader(self):
+        """The native reader iff whole-batch C++ assembly applies: base-class
+        object decoding (datasets overriding _load_objects — images,
+        synthetic — keep the per-sample path) and the library built."""
+        if os.environ.get("DEMOVLP_NATIVE", "1") == "0" or (
+            os.environ.get("DEMOVLP_NATIVE_BATCH", "1") == "0"
+        ):
+            return None
+        from demovlp_tpu.data.datasets.base import RegionDataset
+        from demovlp_tpu.data.native import get_native_reader
+
+        ds = self.dataset
+        if not isinstance(ds, RegionDataset):
+            return None
+        if type(ds)._load_objects is not RegionDataset._load_objects:
+            return None
+        return get_native_reader()
+
+    def _fetch_batch_native(self, batch_idx, reader) -> Dict[str, Any]:
+        """One C++ threaded call decodes the whole batch's npz files into the
+        final (B, F, K, 2054) buffers — no per-sample numpy allocs, no
+        collate re-stack. Per-sample Python keeps only text/meta selection;
+        rng consumption matches the per-sample path exactly (plan_item), so
+        batches are bit-identical to pool.map(_fetch) + collate."""
+        from demovlp_tpu.data.regions import REGION_DIM
+
+        ds = self.dataset
+        plans = []
+        for idx in batch_idx:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, int(idx)])
+            )
+            plans.append(ds.plan_item(int(idx), rng))
+        b = len(plans)
+        f = len(plans[0][0])
+        k = ds.object_num
+        feat = np.zeros((b * f, k, REGION_DIM), dtype=np.float32)
+        mask = np.zeros((b * f, k), dtype=np.float32)
+        lens = np.zeros(b * f, dtype=np.int32)
+        flat = [p for paths, _ in plans for p in paths]
+        status = reader.read_paths_into(flat, k, feat, mask, lens)
+        feat = feat.reshape(b, f, k, REGION_DIM)
+        mask = mask.reshape(b, f, k)
+        bad = status.reshape(b, f).any(axis=1)
+        datas = [data for _, data in plans]
+        for i in np.nonzero(bad)[0]:
+            # rare corrupt file: redo this row per-sample (same seeded rng
+            # stream -> identical resample behavior to the non-batched path,
+            # including re-drawn text/meta/label of the substituted item)
+            item = self._fetch(int(batch_idx[i]))
+            feat[i] = item["object"]
+            mask[i] = item["object_mask"]
+            datas[i] = item
+        batch: Dict[str, Any] = {
+            "object": feat,
+            "object_mask": mask,
+            "text": [d["text"] for d in datas],
+            "meta": [d["meta"] for d in datas],
+        }
+        if "label" in datas[0]:
+            batch["label"] = np.asarray(
+                [d["label"] for d in datas], dtype=np.int32
+            )
+        if "question_id" in datas[0]:
+            batch["question_id"] = np.asarray(
+                [d["question_id"] for d in datas], dtype=np.int64
+            )
+        if "mc_id" in datas[0]:
+            batch["mc_id"] = [d["mc_id"] for d in datas]
+        return batch
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         indices = self._host_indices()
         nb = len(indices) // self.batch_size
@@ -138,14 +210,22 @@ class RegionDataLoader:
                     continue
             return False
 
+        native = self._native_batch_reader()
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for batch_idx in batches:
                         if stop.is_set():
                             return
-                        items = list(pool.map(self._fetch, batch_idx))
-                        if not _put(collate(items)):
+                        if native is not None:
+                            # whole-batch C++ assembly (threaded in native
+                            # code; bit-identical to the pool path)
+                            out = self._fetch_batch_native(batch_idx, native)
+                        else:
+                            items = list(pool.map(self._fetch, batch_idx))
+                            out = collate(items)
+                        if not _put(out):
                             return
             except BaseException as exc:  # surface to the consumer, don't hang it
                 _put(exc)

@@ -63,23 +63,35 @@ class NativeRegionReader:
         assert self.lib.demovlp_region_dim() == REGION_DIM
         self.n_threads = n_threads or min(8, os.cpu_count() or 1)
 
-    def read_paths(self, paths: Sequence[str], object_num: int):
-        """Decode frame npz files -> (feat (F,K,2054), mask (F,K), lens)."""
+    def read_paths_into(
+        self, paths: Sequence[str], object_num: int,
+        feat: np.ndarray, mask: np.ndarray, lens: np.ndarray,
+    ) -> np.ndarray:
+        """Decode npz files straight into caller-owned contiguous buffers
+        (feat (N,K,2054) f32, mask (N,K) f32, lens (N,) i32). Returns the
+        per-file status array (0 = ok) WITHOUT raising — batch assembly
+        falls back per-row on the rare corrupt file."""
         f = len(paths)
-        feat = np.zeros((f, object_num, REGION_DIM), dtype=np.float32)
-        mask = np.zeros((f, object_num), dtype=np.float32)
-        lens = np.zeros(f, dtype=np.int32)
         status = np.zeros(f, dtype=np.int32)
         arr = (ctypes.c_char_p * f)(*[p.encode() for p in paths])
-        rc = self.lib.demovlp_read_frames(
+        self.lib.demovlp_read_frames(
             arr, f, object_num, self.n_threads,
             feat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
-        if rc != 0:
-            raise IOError(f"native decode failed rc={rc} status={status.tolist()}")
+        return status
+
+    def read_paths(self, paths: Sequence[str], object_num: int):
+        """Decode frame npz files -> (feat (F,K,2054), mask (F,K), lens)."""
+        f = len(paths)
+        feat = np.zeros((f, object_num, REGION_DIM), dtype=np.float32)
+        mask = np.zeros((f, object_num), dtype=np.float32)
+        lens = np.zeros(f, dtype=np.int32)
+        status = self.read_paths_into(paths, object_num, feat, mask, lens)
+        if status.any():
+            raise IOError(f"native decode failed status={status.tolist()}")
         return feat, mask, lens.tolist()
 
     def read_video(self, object_dir: str, frame_idxs: Sequence[int], object_num: int):

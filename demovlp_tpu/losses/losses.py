@@ -37,6 +37,8 @@ def rwa_loss(
     lambda_softmax: float = 20.0,
     focal_type: str = "prob",
     block_segment: int = 0,
+    compute_dtype=None,
+    remat: bool = False,
 ):
     """Region-word alignment loss: KL(softmax(lambda*scores) || ~identity)
     (reference model/loss.py:105-116).
@@ -57,9 +59,19 @@ def rwa_loss(
             segment=block_segment,
             lambda_softmax=lambda_softmax,
             focal_type=focal_type,
+            compute_dtype=compute_dtype,
         )
     else:
-        scores = xattn_score(im, s, im_mask, s_mask, lambda_softmax, focal_type)
+        score_fn = xattn_score
+        if remat:
+            # recompute the O(B^2) attention pipeline in the backward pass
+            # instead of storing its residuals: pure HBM-traffic trade, zero
+            # numerics change (the loss is traffic-bound, BENCH_NOTES.md)
+            score_fn = jax.checkpoint(
+                xattn_score, static_argnums=(4, 5, 6)
+            )
+        scores = score_fn(im, s, im_mask, s_mask, lambda_softmax,
+                          focal_type, compute_dtype)
     labels = jnp.eye(im.shape[0], dtype=scores.dtype)
     pred = jax.nn.softmax(scores * lambda_softmax, axis=1)
     loss = pred * (
@@ -110,12 +122,18 @@ class RWALoss:
     margin: float = 0.0  # parity field; unused (reference never uses it)
     max_violation: bool = False  # parity field; unused
     block_segment: int = 0  # framework extension: blockwise score matrix
+    # "bfloat16" halves the HBM cost of the O(B^2) training loss (sims/CE
+    # stay f32 — see ops/xattn.py); "float32" = exact reference numerics
+    local_dtype: str = "float32"
+    # recompute-in-backward for the score pipeline (numerics-identical)
+    local_remat: bool = False
 
     def __call__(self, im, s, im_mask, s_lens=None, s_mask=None):
         # s_lens accepted for call-surface parity (reference threads text
         # lengths through but never uses them, loss.py:294-330).
         return rwa_loss(im, s, im_mask, s_mask, self.lambda_softmax,
-                        self.focal_type, self.block_segment)
+                        self.focal_type, self.block_segment,
+                        jnp.dtype(self.local_dtype), self.local_remat)
 
     def get_sim(self, im, s, im_mask, s_lens=None, s_mask=None):
         return xattn_score(im, s, im_mask, s_mask, self.lambda_softmax, self.focal_type)
@@ -139,6 +157,8 @@ class GlobalLocalLoss:
     use_global: bool = True
     coef: float = 1000.0
     local_block_segment: int = 0  # framework extension (see rwa_loss)
+    local_dtype: str = "float32"  # framework extension (see RWALoss)
+    local_remat: bool = False  # framework extension (see RWALoss)
     global_loss: NormSoftmaxLoss = field(init=False)
     local_loss: RWALoss = field(init=False)
 
@@ -148,7 +168,8 @@ class GlobalLocalLoss:
             self,
             "local_loss",
             RWALoss(self.lambda_softmax, self.focal_type, self.margin,
-                    self.max_violation, self.local_block_segment),
+                    self.max_violation, self.local_block_segment,
+                    self.local_dtype, self.local_remat),
         )
 
     def __call__(self, global_sim, local_im, local_s, local_im_mask, local_s_lens, local_s_mask):

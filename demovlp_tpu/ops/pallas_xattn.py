@@ -65,6 +65,12 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _out_q(bq_total: int, block_q: int) -> int:
+    """Width of the forward output tile: 128 lanes when the query axis is
+    long enough (dense physical layout), else the whole (padded) axis."""
+    return 128 if bq_total >= 128 else bq_total
+
+
 def _pad_axis(x, axis: int, target: int, value=0.0):
     pad = target - x.shape[axis]
     if pad == 0:
@@ -91,10 +97,26 @@ def _fa_sim_kernel(
     working set stays a (bq*lq, ls) matrix whose reductions land on natural
     axes — l2norm over lq is a per-query-group sublane reduction, the
     softmax/focal renorm are lane (minor-axis) reductions, and both matmuls
-    are plain 2-D MXU ops."""
+    are plain 2-D MXU ops.
+
+    Output: a (block_c, out_q) lane-aligned block shared by `out_q//bq`
+    consecutive inner grid steps; each step scatters its (block_c, bq) strip
+    of sims into the block with a one-hot matmul (no dynamic lane slicing).
+    Decoupling the output tile width (out_q, 128-aligned) from the query
+    tile (bq, VMEM-bounded) keeps the output array DENSE: the previous
+    (grid_i, grid_j, block_c, bq) tile-array layout physically padded bq up
+    to 128 lanes — 64x HBM blowup (25.6 GB for a 10k x 10k gallery)."""
     bc, ls, d = ctx_ref.shape
     bq, lq, _ = qry_ref.shape
+    out_q = out_ref.shape[-1]
     n = bq * lq
+    inner = out_q // bq
+
+    if inner > 1:
+
+        @pl.when(pl.program_id(2) == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
     q = qry_ref[...]
     qn_flat = _normalize_rows(q).reshape(n, d)
@@ -109,6 +131,7 @@ def _fa_sim_kernel(
         qn_flat, cn_all.reshape(bc * ls, d).T, preferred_element_type=jnp.float32
     )  # (n, bc*ls)
 
+    rows = []
     for ci in range(bc):  # static unroll over the context block
         cmask = cmask_ref[ci, 0, :]  # (ls,)
         cn = cn_all[ci]
@@ -134,7 +157,21 @@ def _fa_sim_kernel(
         den = jnp.sqrt(jnp.sum(w * w, -1)) * q_norm
         cos = num / jnp.maximum(den, _EPS)
         sim = jnp.sum(cos.reshape(bq, lq), axis=-1) / lq_real  # (bq,)
-        out_ref[0, 0, ci, :] = sim
+        rows.append(sim)
+    tile = jnp.stack(rows, axis=0)  # (bc, bq)
+
+    if inner == 1:
+        out_ref[0, 0] = tile
+    else:
+        # scatter the (bc, bq) strip to columns [ji*bq, (ji+1)*bq) of the
+        # (bc, out_q) block with a one-hot matmul: onehot[r, ji*bq + r] = 1
+        ji = pl.program_id(2)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, out_q), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, out_q), 0)
+        onehot = (col == ji * bq + row).astype(jnp.float32)
+        out_ref[0, 0] += jnp.dot(
+            tile, onehot, preferred_element_type=jnp.float32
+        )
 
 
 def _fa_sim_pallas(
@@ -142,10 +179,13 @@ def _fa_sim_pallas(
     ls_real: int, lq_real: int, block_c: int, block_q: int,
     interpret: bool = False,
 ):
-    """sim (Bc, Bq) with padded inputs; Bc % block_c == 0, Bq % block_q == 0."""
+    """sim (Bc, Bq) with padded inputs; Bc % block_c == 0,
+    Bq % out_q(block_q) == 0 (see _out_q)."""
     bc_total, ls, d = context.shape
     bq_total, lq, _ = query.shape
-    grid = (bc_total // block_c, bq_total // block_q)
+    out_q = _out_q(bq_total, block_q)
+    inner = out_q // block_q
+    grid = (bc_total // block_c, bq_total // out_q, inner)
 
     kernel = functools.partial(
         _fa_sim_kernel,
@@ -154,32 +194,35 @@ def _fa_sim_pallas(
         ls_real=ls_real,
         lq_real=lq_real,
     )
-    # output is a (grid_i, grid_j, block_c, block_q) tile array so the block's
-    # trailing dims equal the array's (Mosaic tiling rule); callers reshape
+    # output is a (grid_i, grid_jo, block_c, out_q) tile array: the block
+    # spans the trailing dims (Mosaic rule) and out_q is 128-lane aligned,
+    # so the physical layout is dense; `inner` consecutive grid steps share
+    # one output block (see _fa_sim_kernel)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (block_c, ls, d), lambda i, j: (i, 0, 0),
+                (block_c, ls, d), lambda i, jo, ji: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_q, lq, d), lambda i, j: (j, 0, 0),
+                (block_q, lq, d),
+                lambda i, jo, ji, _inner=inner: (jo * _inner + ji, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (block_c, 1, ls), lambda i, j: (i, 0, 0),
+                (block_c, 1, ls), lambda i, jo, ji: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_c, block_q),
-            lambda i, j: (i, j, 0, 0),
+            (1, 1, block_c, out_q),
+            lambda i, jo, ji: (i, jo, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (grid[0], grid[1], block_c, block_q), jnp.float32
+            (grid[0], grid[1], block_c, out_q), jnp.float32
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -524,6 +567,10 @@ def _direction_sim(
     )
     n_c_pad = _round_up(n_c, block_c)
     n_q_pad = _round_up(n_q, block_q)
+    if n_q_pad >= 128:
+        # the dense forward output tile is 128 lanes wide (see _out_q);
+        # block_q always divides 128, so this stays a block_q multiple
+        n_q_pad = _round_up(n_q_pad, 128)
 
     ctx = _pad_axis(_pad_axis(context.astype(jnp.float32), 1, ls), 0, n_c_pad)
     qry = _pad_axis(_pad_axis(query.astype(jnp.float32), 1, lq), 0, n_q_pad)

@@ -70,6 +70,10 @@ def func_attention(
     attend each query position over the context positions and return the
     attention-weighted (l2-normalized) context.
 
+    Runs in the dtype of `query`/`context` (masks are cast to match): the
+    O(B^2 * Lq * Ls) intermediates dominate HBM traffic, so bfloat16 inputs
+    halve the loss's memory cost (see `xattn_score(compute_dtype=...)`).
+
     Args:
       query: (Bq, Lq, D)
       context: (Bc, Ls, D)
@@ -88,6 +92,10 @@ def func_attention(
     attn = l2norm(attn, axis=-1)
     # -> (Bc, Bq, Lq, Ls)
     attn = jnp.swapaxes(attn, 2, 3)
+    # cast masks to the compute dtype: f32 masks would silently promote the
+    # whole O(B^2) pipeline back to f32 under jnp type promotion
+    query_mask = query_mask.astype(attn.dtype)
+    context_mask = context_mask.astype(attn.dtype)
     attn = attn + query_mask[None, :, :, None] + context_mask[:, None, None, :]
     attn = jax.nn.softmax(attn * lambda_softmax, axis=-1)
 
@@ -98,7 +106,16 @@ def func_attention(
 
     tmp_attn = func_h * attn
     attn_sum = jnp.sum(tmp_attn, axis=-1, keepdims=True)
-    re_attn = tmp_attn / attn_sum
+    # 0/0 guard: an exactly-uniform softmax row makes focal_equal's func_h
+    # all-zero (func_f == 0 everywhere, strict >). Exact uniformity is
+    # routine under bf16 rounding and possible in f32 (all-padded source
+    # rows). The funcF -> 0+ limit is uniform re-attention, i.e. attn
+    # itself. where-selects, not eps: XLA's reciprocal rewrite turns
+    # x/(sum+eps) into NaN-producing code when sum == 0 (BENCH_NOTES.md).
+    ok = attn_sum > 0
+    re_attn = jnp.where(ok, tmp_attn, attn) / jnp.where(
+        ok, attn_sum, jnp.sum(attn, axis=-1, keepdims=True)
+    )
 
     # weighted ctx over source positions: (Bc, Bq, Lq, D)
     return jnp.einsum("cqls,csd->cqld", re_attn, context)
@@ -111,22 +128,30 @@ def _xattn_score_xla(
     cap_mask,
     lambda_softmax: float,
     focal_type: str,
+    compute_dtype=None,
 ):
+    if compute_dtype is not None:
+        images = images.astype(compute_dtype)
+        captions = captions.astype(compute_dtype)
     # i2t: attend caption words over image regions
     wei_context = func_attention(
         captions, images, cap_mask, img_mask, lambda_softmax, focal_type
     )
     i2t_sim = cosine_similarity(captions[None], wei_context, axis=-1)
-    i2t_sim = jnp.mean(i2t_sim, axis=-1)  # (n_img, n_cap)
+    # the position-mean is done in f32 (free: XLA fuses the upcast into the
+    # reduction; the HBM-heavy 4-D intermediates above stay in compute dtype)
+    i2t_sim = jnp.mean(i2t_sim.astype(jnp.float32), axis=-1)  # (n_img, n_cap)
 
     # t2i: attend image regions over caption words
     wei_context = func_attention(
         images, captions, img_mask, cap_mask, lambda_softmax, focal_type
     )
     t2i_sim = cosine_similarity(images[None], wei_context, axis=-1)
-    t2i_sim = jnp.mean(t2i_sim, axis=-1)  # (n_cap, n_img)
+    t2i_sim = jnp.mean(t2i_sim.astype(jnp.float32), axis=-1)  # (n_cap, n_img)
 
-    return t2i_sim.T + i2t_sim  # (n_img, n_cap)
+    # sims always leave in f32: downstream contrastive CE / ranking metrics
+    # stay full-precision regardless of the compute dtype
+    return (t2i_sim.T + i2t_sim).astype(jnp.float32)  # (n_img, n_cap)
 
 
 def xattn_score(
@@ -136,9 +161,16 @@ def xattn_score(
     cap_mask=None,
     lambda_softmax: float = 20.0,
     focal_type: str = "prob",
+    compute_dtype=None,
 ):
     """Symmetric local similarity matrix between image (region) sets and
-    caption (word) sets. Returns (n_images, n_captions).
+    caption (word) sets. Returns (n_images, n_captions) in float32.
+
+    compute_dtype: dtype for the O(B^2) attention pipeline (XLA backend).
+    `jnp.bfloat16` halves the HBM traffic of the training local loss (the
+    towers already run bf16, so the embeddings carry bf16 information
+    content); sims, softmax-CE and ranking stay f32. None = input dtype
+    (f32 everywhere by default — the reference trains in pure f32).
 
     Args:
       images: (Ni, R, D) local region embeddings
@@ -161,13 +193,17 @@ def xattn_score(
             images, captions, img_mask, cap_mask, lambda_softmax, focal_type
         )
     return _xattn_score_xla(
-        images, captions, img_mask, cap_mask, lambda_softmax, focal_type
+        images, captions, img_mask, cap_mask, lambda_softmax, focal_type,
+        compute_dtype,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("segment", "cap_segment", "lambda_softmax", "focal_type"),
+    static_argnames=(
+        "segment", "cap_segment", "lambda_softmax", "focal_type",
+        "compute_dtype",
+    ),
 )
 def xattn_score_blockwise(
     images,
@@ -178,6 +214,7 @@ def xattn_score_blockwise(
     cap_segment: int = 0,
     lambda_softmax: float = 20.0,
     focal_type: str = "prob",
+    compute_dtype=None,
 ):
     """Memory-bounded all-pairs local similarity for evaluation.
 
@@ -203,7 +240,8 @@ def xattn_score_blockwise(
     # to avoid. Backward recomputes one block at a time instead.
     score_fn = jax.checkpoint(
         functools.partial(
-            xattn_score, lambda_softmax=lambda_softmax, focal_type=focal_type
+            xattn_score, lambda_softmax=lambda_softmax, focal_type=focal_type,
+            compute_dtype=compute_dtype,
         )
     )
 

@@ -6,6 +6,7 @@ from demovlp_tpu.parallel.mesh import (
     shard_batch,
 )
 from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
+from demovlp_tpu.parallel.tp import shard_state, state_shardings
 
 __all__ = [
     "create_mesh",
@@ -14,4 +15,6 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "sharded_local_sims",
+    "shard_state",
+    "state_shardings",
 ]

@@ -58,8 +58,17 @@ def sharded_local_sims(
     if backend == "auto":
         # measured on v5e (BENCH_NOTES.md): the fused Pallas kernel is faster
         # AND memory-bounded by construction at gallery scale; CPU (tests)
-        # can't run compiled Mosaic, so it keeps the XLA path
-        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+        # can't run compiled Mosaic, so it keeps the XLA path. Above the
+        # scale the kernel has been hardware-validated at (4k x 4k), auto
+        # stays on the XLA blockwise path: a 10k x 10k pallas run produced a
+        # TPU worker crash ("kernel fault") under the axon runtime — until
+        # that is root-caused, auto must never risk taking the chip down.
+        big = n_img * n_cap > 16_000_000
+        backend = (
+            "pallas"
+            if jax.default_backend() != "cpu" and not big
+            else "xla"
+        )
     # caption blocking keeps the per-tile (seg, cap_seg, Lq, Ls) intermediate
     # bounded on the non-fused (XLA) backend for large galleries
     if cap_segment == 0 and backend == "xla" and n_cap > 256:

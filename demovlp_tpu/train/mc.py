@@ -16,6 +16,7 @@ from typing import Any, Callable, Dict, List, Optional
 import jax
 import numpy as np
 
+from demovlp_tpu.utils.prng import fast_prng_key
 from demovlp_tpu.parallel.mesh import host_allgather
 from demovlp_tpu.train.base_trainer import BaseTrainer
 from demovlp_tpu.train.state import create_train_state
@@ -74,7 +75,10 @@ class MCTrainer(BaseTrainer):
             i: dl.dataset.id2answer for i, dl in enumerate(self.valid_data_loader)
         }
 
-        self.rng = jax.random.PRNGKey(rng_seed)
+        # init stays threefry (deterministic golden params); the dropout
+        # stream uses the fast rbg impl (utils/prng.py)
+        self.init_rng = jax.random.PRNGKey(rng_seed)
+        self.rng = fast_prng_key(rng_seed)
         ds = (data_loader or valid_data_loader)[0].dataset
         f, k = ds.segments, ds.object_num
         sample = {
@@ -83,7 +87,7 @@ class MCTrainer(BaseTrainer):
             "object": np.zeros((n_options, f, k, 2054), np.float32),
             "object_mask": np.ones((n_options, f, k), np.float32),
         }
-        self.state = create_train_state(model, tx, sample, self.rng, mesh)
+        self.state = create_train_state(model, tx, sample, self.init_rng, mesh)
         self._eval_step = make_mc_eval_step(model, loss, mesh, n_options)
 
     def _train_epoch(self, epoch: int):

@@ -13,6 +13,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import numpy as np
 
+from demovlp_tpu.utils.prng import fast_prng_key
 from demovlp_tpu.parallel.mesh import shard_batch
 from demovlp_tpu.train.base_trainer import BaseTrainer
 from demovlp_tpu.train.state import create_train_state
@@ -64,7 +65,10 @@ class QATrainer(BaseTrainer):
             i: dl.dataset.qid2data for i, dl in enumerate(self.valid_data_loader)
         }
 
-        self.rng = jax.random.PRNGKey(rng_seed)
+        # init stays threefry (deterministic golden params); the dropout
+        # stream uses the fast rbg impl (utils/prng.py)
+        self.init_rng = jax.random.PRNGKey(rng_seed)
+        self.rng = fast_prng_key(rng_seed)
         ds = data_loader[0].dataset
         b, f, k = data_loader[0].batch_size, ds.segments, ds.object_num
         sample = {
@@ -73,7 +77,7 @@ class QATrainer(BaseTrainer):
             "object": np.zeros((b, f, k, 2054), np.float32),
             "object_mask": np.ones((b, f, k), np.float32),
         }
-        self.state = create_train_state(model, tx, sample, self.rng, mesh)
+        self.state = create_train_state(model, tx, sample, self.init_rng, mesh)
         self._train_step = make_qa_train_step(model, loss, tx, mesh)
         self._eval_step = make_qa_eval_step(model, mesh)
 

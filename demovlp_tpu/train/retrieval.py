@@ -22,6 +22,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import numpy as np
 
+from demovlp_tpu.utils.prng import fast_prng_key
 from demovlp_tpu.parallel.mesh import host_allgather, shard_batch
 from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
 from demovlp_tpu.ops.similarity import sim_matrix
@@ -94,9 +95,12 @@ class RetrievalTrainer(BaseTrainer):
         )
         self._mlm_rng = np.random.default_rng(rng_seed + 1)
 
-        self.rng = jax.random.PRNGKey(rng_seed)
+        # init stays threefry (deterministic golden params); the dropout
+        # stream uses the fast rbg impl (utils/prng.py)
+        self.init_rng = jax.random.PRNGKey(rng_seed)
+        self.rng = fast_prng_key(rng_seed)
         sample = self._first_batch_template()
-        self.state = create_train_state(model, tx, sample, self.rng, mesh)
+        self.state = create_train_state(model, tx, sample, self.init_rng, mesh)
         self._train_step = make_retrieval_train_step(
             model, loss, tx, mesh, mlm_weight=self.mlm_weight
         )

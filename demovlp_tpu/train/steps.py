@@ -89,8 +89,11 @@ def mlm_loss_fn(logits, labels, ignore_index: int = -100):
 
 def make_retrieval_train_step(
     model, loss_obj, tx, mesh, mlm_weight: float = 0.0,
-    deterministic: bool = False,
+    deterministic: bool = False, state_sharding=None,
 ) -> Callable:
+    """state_sharding: optional TrainState-shaped NamedSharding pytree (see
+    parallel/tp.py) — tensor-parallel layouts over the 'model' axis. Default
+    None keeps params/opt_state replicated (pure data parallel)."""
     def step(state: TrainState, batch, lr, rng):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -119,10 +122,11 @@ def make_retrieval_train_step(
 
     rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
+    st = state_sharding if state_sharding is not None else rep
     return jax.jit(
         step,
-        in_shardings=(rep, dat, None, None),
-        out_shardings=(rep, rep),
+        in_shardings=(st, dat, None, None),
+        out_shardings=(st, rep),
         donate_argnums=(0,),
     )
 

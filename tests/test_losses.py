@@ -95,3 +95,74 @@ def test_max_margin_ranking():
     assert np.isfinite(out) and out >= 0
     out2 = float(MaxMarginRankingLoss(margin=1.0, fix_norm=False)(x))
     assert np.isfinite(out2)
+
+
+def test_rwa_loss_remat_matches_no_remat():
+    """local_remat only changes the backward's memory/recompute schedule —
+    same loss, gradients equal up to recompute reassociation (~1e-7)."""
+    import jax
+
+    im, s = _rand(8, 5, 16, seed=2), _rand(8, 7, 16, seed=3)
+    im_mask, s_mask = _masks(8, 5), _masks(8, 7, seed=4)
+
+    def loss_fn(remat):
+        obj = RWALoss(focal_type="equal", local_remat=remat)
+        return lambda a: obj(a, jnp.array(s), jnp.array(im_mask), None,
+                             jnp.array(s_mask))
+
+    v0, g0 = jax.value_and_grad(loss_fn(False))(jnp.array(im))
+    v1, g1 = jax.value_and_grad(loss_fn(True))(jnp.array(im))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(
+        np.asarray(g0), np.asarray(g1), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_rwa_loss_bfloat16_finite_and_close():
+    """local_dtype='bfloat16' (O(B^2) pipeline in bf16, sims/CE in f32):
+    finite loss + grads, loss within bf16-noise of f32. The lambda=20
+    softmax amplifies bf16 rounding, so the tolerance is coarse by design
+    (the knob is an opt-in throughput trade, not a parity mode)."""
+    import jax
+
+    im, s = _rand(12, 5, 16, seed=5), _rand(12, 7, 16, seed=6)
+    im_mask, s_mask = _masks(12, 5, seed=7), _masks(12, 7, seed=8)
+
+    def run(dtype):
+        obj = RWALoss(focal_type="equal", local_dtype=dtype)
+        fn = lambda a: obj(a, jnp.array(s), jnp.array(im_mask), None,
+                           jnp.array(s_mask))
+        return jax.value_and_grad(fn)(jnp.array(im))
+
+    v32, g32 = run("float32")
+    vbf, gbf = run("bfloat16")
+    assert np.isfinite(float(vbf))
+    assert np.isfinite(np.asarray(gbf)).all()
+    assert gbf.dtype == jnp.float32  # grads w.r.t. f32 embeddings stay f32
+    np.testing.assert_allclose(float(vbf), float(v32), rtol=0.05)
+
+
+def test_func_attention_uniform_row_no_nan():
+    """focal_equal on an exactly-uniform softmax row used to 0/0 (all
+    func_f == 0): the where-select guard must fall back to the uniform
+    re-attention, in both dtypes."""
+    import jax
+
+    from demovlp_tpu.ops.xattn import xattn_score
+
+    # one image with every region identical -> attention rows exactly uniform
+    im = np.tile(_rand(1, 1, 16, seed=9), (2, 4, 1)).astype(np.float32)
+    s = _rand(2, 6, 16, seed=10)
+    im_mask = np.zeros((2, 4), np.float32)
+    s_mask = np.zeros((2, 6), np.float32)
+    for dt in (None, jnp.bfloat16):
+        sims = xattn_score(jnp.array(im), jnp.array(s), jnp.array(im_mask),
+                           jnp.array(s_mask), 20.0, "equal", dt)
+        assert np.isfinite(np.asarray(sims)).all(), dt
+        g = jax.grad(
+            lambda a: jnp.sum(
+                xattn_score(a, jnp.array(s), jnp.array(im_mask),
+                            jnp.array(s_mask), 20.0, "equal", dt)
+            )
+        )(jnp.array(im))
+        assert np.isfinite(np.asarray(g)).all(), dt

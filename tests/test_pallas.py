@@ -85,3 +85,27 @@ def test_pallas_xattn_grads_match_xla(shape, focal):
     np.testing.assert_allclose(
         np.asarray(gp_la), np.asarray(gx_la), rtol=1e-3, atol=3e-5
     )
+
+
+def test_pallas_xattn_multi_jo_output_blocks():
+    """Gallery-scale output path: >128 queries engages the dense output
+    layout's outer/inner grid split (out_q=128 blocks, one-hot strip
+    accumulation) with multiple jo blocks AND a non-multiple-of-128 query
+    count (pad + slice). Guards the layout rework that fixed the 64x padded
+    tile-array (BENCH_NOTES.md)."""
+    ni, nc, r, w = 9, 290, 6, 11
+    img, lang, imask, lmask = _inputs(ni, nc, r, w, seed=3)
+    want = np.asarray(
+        _xattn_score_xla(
+            jnp.array(img), jnp.array(lang), jnp.array(imask), jnp.array(lmask),
+            20.0, "equal",
+        )
+    )
+    got = np.asarray(
+        xattn_score_pallas_interpret(
+            jnp.array(img), jnp.array(lang), jnp.array(imask), jnp.array(lmask),
+            20.0, "equal",
+        )
+    )
+    assert got.shape == (ni, nc)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
