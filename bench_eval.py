@@ -52,12 +52,16 @@ def main() -> None:
         img, lang, imask, lmask, mesh, segment=segment, focal_type="equal"
     )
     dt = time.perf_counter() - t0
+    chunk = int(os.environ.get("DEMOVLP_EVAL_CHUNK", 4096))
     print(
         json.dumps(
             {
                 "metric": "eval_local_sim_wallclock",
                 "value": round(dt, 3),
-                "unit": f"s for {n}x{n} gallery ({backend}, segment={segment})",
+                "unit": (
+                    f"s for {n}x{n} gallery ({backend}, segment={segment}, "
+                    f"chunk={min(n, chunk)})"
+                ),
                 "vs_baseline": 1.0,
             }
         )

@@ -6,10 +6,20 @@ gallery (video) axis is padded and split over the mesh's 'data' axis with
 shard_map; each device scans its row block against the full (replicated)
 caption set with the fused xattn kernel; the assembled matrix comes back
 sharded and is gathered once.
+
+Large galleries are processed in HOST-LEVEL CHUNKS of the gallery axis
+(default 4096 rows, DEMOVLP_EVAL_CHUNK): at 10k+ rows a single gallery
+buffer exceeds 2 GiB and reproducibly crashes the TPU worker under the
+axon runtime (both the Pallas and the XLA backend — it is the transfer,
+not the kernel). Chunking bounds every device buffer and keeps each
+dispatch at the hardware-validated scale; the caption set is transferred
+to device ONCE and reused across chunks, and all chunks share one
+compiled executable (the last chunk is padded to the chunk shape).
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import numpy as np
@@ -26,81 +36,14 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
     return np.pad(x, pad)
 
 
-def sharded_local_sims(
-    img_feats,
-    lang_feats,
-    img_mask,
-    lang_mask,
-    mesh: Mesh,
-    segment: int = 64,
-    cap_segment: int = 0,
-    lambda_softmax: float = 20.0,
-    focal_type: str = "prob",
-    backend: str | None = None,
-) -> np.ndarray:
-    """Full (n_videos, n_texts) local similarity matrix on the mesh.
-
-    Args (host numpy or jax arrays):
-      img_feats (Ni, R, D), lang_feats (Nc, W, D),
-      img_mask additive (Ni, R), lang_mask additive (Nc, W)
-    """
-    img_feats = np.asarray(img_feats, dtype=np.float32)
-    lang_feats = np.asarray(lang_feats, dtype=np.float32)
-    img_mask = np.asarray(img_mask, dtype=np.float32)
-    lang_mask = np.asarray(lang_mask, dtype=np.float32)
-
-    n_img = img_feats.shape[0]
-    n_cap = lang_feats.shape[0]
-    from demovlp_tpu.ops.xattn import get_backend
-
-    if backend is None:
-        backend = get_backend()
-    if backend == "auto":
-        # measured on v5e (BENCH_NOTES.md): the fused Pallas kernel is faster
-        # AND memory-bounded by construction at gallery scale; CPU (tests)
-        # can't run compiled Mosaic, so it keeps the XLA path. Above the
-        # scale the kernel has been hardware-validated at (4k x 4k), auto
-        # stays on the XLA blockwise path: a 10k x 10k pallas run produced a
-        # TPU worker crash ("kernel fault") under the axon runtime — until
-        # that is root-caused, auto must never risk taking the chip down.
-        big = n_img * n_cap > 16_000_000
-        backend = (
-            "pallas"
-            if jax.default_backend() != "cpu" and not big
-            else "xla"
-        )
-    # caption blocking keeps the per-tile (seg, cap_seg, Lq, Ls) intermediate
-    # bounded on the non-fused (XLA) backend for large galleries
-    if cap_segment == 0 and backend == "xla" and n_cap > 256:
-        cap_segment = 128
-    if cap_segment:
-        pad_cap = -(-n_cap // cap_segment) * cap_segment - n_cap
-        if pad_cap:
-            lang_feats = np.pad(
-                np.asarray(lang_feats, np.float32),
-                ((0, pad_cap), (0, 0), (0, 0)),
-            )
-            lang_mask = np.pad(
-                np.asarray(lang_mask, np.float32),
-                ((0, pad_cap), (0, 0)),
-                constant_values=-100.0,
-            )
-    n_dev = mesh.shape[DATA_AXIS]
-    # pad the gallery axis to an equal per-device share only (< n_dev fake
-    # rows); the scan segment is then shrunk to the largest divisor of the
-    # share, instead of padding the share up to a segment multiple (which
-    # wasted up to n_dev*segment-1 rows of eval compute at MSRVTT-1k scale)
-    per_dev = -(-n_img // n_dev)
-    if backend != "pallas":
-        segment = min(segment, per_dev)
-        while per_dev % segment:
-            segment -= 1
-    # pad masks with -100 (all-padded row) so fake galleries are inert
-    total = per_dev * n_dev
-    img_feats_p = _pad_to(img_feats, total)
-    img_mask_p = np.full((total, img_mask.shape[1]), -100.0, dtype=np.float32)
-    img_mask_p[:n_img] = img_mask
-
+@functools.lru_cache(maxsize=8)
+def _chunk_fn(
+    mesh: Mesh, backend: str, segment: int, cap_segment: int,
+    lambda_softmax: float, focal_type: str,
+):
+    """One jitted shard_map'ed gallery-chunk computation, shared across
+    chunks and eval calls (keyed on the static config; jit's own cache
+    handles shapes)."""
     if backend == "pallas":
         # the fused kernel tiles internally — no outer scan needed (and
         # scan+shard_map nesting around pallas_call compiles pathologically)
@@ -141,5 +84,89 @@ def sharded_local_sims(
         )
         return fn(imgs, langs, imasks, lmasks)
 
-    sims = compute(img_feats_p, lang_feats, img_mask_p, lang_mask)
-    return np.asarray(sims)[:n_img, :n_cap]
+    return compute
+
+
+def sharded_local_sims(
+    img_feats,
+    lang_feats,
+    img_mask,
+    lang_mask,
+    mesh: Mesh,
+    segment: int = 64,
+    cap_segment: int = 0,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "prob",
+    backend: str | None = None,
+    chunk_rows: int = 0,
+) -> np.ndarray:
+    """Full (n_videos, n_texts) local similarity matrix on the mesh.
+
+    Args (host numpy or jax arrays):
+      img_feats (Ni, R, D), lang_feats (Nc, W, D),
+      img_mask additive (Ni, R), lang_mask additive (Nc, W)
+      chunk_rows: gallery rows per dispatch (0 = DEMOVLP_EVAL_CHUNK, 4096)
+    """
+    img_feats = np.asarray(img_feats, dtype=np.float32)
+    lang_feats = np.asarray(lang_feats, dtype=np.float32)
+    img_mask = np.asarray(img_mask, dtype=np.float32)
+    lang_mask = np.asarray(lang_mask, dtype=np.float32)
+
+    n_img = img_feats.shape[0]
+    n_cap = lang_feats.shape[0]
+    from demovlp_tpu.ops.xattn import get_backend
+
+    if backend is None:
+        backend = get_backend()
+    if backend == "auto":
+        # measured on v5e (BENCH_NOTES.md): the fused Pallas kernel is faster
+        # AND memory-bounded by construction at gallery scale; CPU (tests)
+        # can't run compiled Mosaic, so it keeps the XLA path
+        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+    # caption blocking keeps the per-tile (seg, cap_seg, Lq, Ls) intermediate
+    # bounded on the non-fused (XLA) backend for large galleries
+    if cap_segment == 0 and backend == "xla" and n_cap > 256:
+        cap_segment = 128
+    if cap_segment:
+        pad_cap = -(-n_cap // cap_segment) * cap_segment - n_cap
+        if pad_cap:
+            lang_feats = np.pad(lang_feats, ((0, pad_cap), (0, 0), (0, 0)))
+            lang_mask = np.pad(
+                lang_mask, ((0, pad_cap), (0, 0)), constant_values=-100.0
+            )
+
+    if chunk_rows <= 0:
+        chunk_rows = int(os.environ.get("DEMOVLP_EVAL_CHUNK", 4096))
+    chunk = min(n_img, chunk_rows)
+
+    n_dev = mesh.shape[DATA_AXIS]
+    # pad the chunk's gallery axis to an equal per-device share only (< n_dev
+    # fake rows); the scan segment is then shrunk to the largest divisor of
+    # the share, instead of padding the share up to a segment multiple (which
+    # wasted up to n_dev*segment-1 rows of eval compute at MSRVTT-1k scale)
+    per_dev = -(-chunk // n_dev)
+    if backend != "pallas":
+        segment = min(segment, per_dev)
+        while per_dev % segment:
+            segment -= 1
+    total = per_dev * n_dev
+
+    fn = _chunk_fn(
+        mesh, backend, segment, cap_segment, float(lambda_softmax), focal_type
+    )
+
+    # captions to device ONCE, reused by every chunk
+    rep = NamedSharding(mesh, P())
+    lang_dev = jax.device_put(lang_feats, rep)
+    lmask_dev = jax.device_put(lang_mask, rep)
+
+    out = np.empty((n_img, n_cap), dtype=np.float32)
+    for start in range(0, n_img, chunk):
+        stop = min(start + chunk, n_img)
+        feats_p = _pad_to(img_feats[start:stop], total)
+        # pad masks with -100 (all-padded row) so fake galleries are inert
+        mask_p = np.full((total, img_mask.shape[1]), -100.0, dtype=np.float32)
+        mask_p[: stop - start] = img_mask[start:stop]
+        sims = fn(feats_p, lang_dev, mask_p, lmask_dev)
+        out[start:stop] = np.asarray(sims)[: stop - start, :n_cap]
+    return out

@@ -46,3 +46,22 @@ def test_sharded_with_caption_padding():
     )
     assert got.shape == (16, 7)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_chunked_gallery_matches_dense():
+    """Host-level gallery chunking (the >2 GiB-buffer workaround for huge
+    galleries): multiple chunks, ragged last chunk, one compiled fn."""
+    img, lang, imask, lmask = _inputs(ni=21, nc=9, seed=4)
+    mesh = create_mesh()
+    got = sharded_local_sims(
+        img, lang, imask, lmask, mesh, segment=2, focal_type="equal",
+        chunk_rows=8,  # 21 rows -> chunks of 8, 8, 5
+    )
+    want = np.asarray(
+        xattn_score(
+            jnp.array(img), jnp.array(lang), jnp.array(imask),
+            jnp.array(lmask), 20.0, "equal",
+        )
+    )
+    assert got.shape == (21, 9)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
