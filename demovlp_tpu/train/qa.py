@@ -78,7 +78,10 @@ class QATrainer(BaseTrainer):
             "object_mask": np.ones((b, f, k), np.float32),
         }
         self.state = create_train_state(model, tx, sample, self.init_rng, mesh)
-        self._train_step = make_qa_train_step(model, loss, tx, mesh)
+        self._train_step = make_qa_train_step(
+            model, loss, tx, mesh,
+            state_sharding=_tp_sharding(self.state, mesh),
+        )
         self._eval_step = make_qa_eval_step(model, mesh)
 
     def _train_epoch(self, epoch: int) -> Dict[str, Any]:
@@ -164,3 +167,15 @@ class QATrainer(BaseTrainer):
             res_dict[f"val_loss_{dl_idx}"] = 0.0
         res_dict["nested_val_metrics"] = nested_metrics
         return res_dict
+
+def _tp_sharding(state, mesh):
+    """TrainState sharding pytree when the mesh has a real 'model' axis
+    (tensor parallelism, parallel/tp.py); None = replicated (the default
+    data-parallel layout)."""
+    from demovlp_tpu.parallel.mesh import MODEL_AXIS
+
+    if dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1) > 1:
+        from demovlp_tpu.parallel.tp import state_shardings
+
+        return state_shardings(state, mesh)
+    return None

@@ -34,11 +34,19 @@ def create_train_state(
     mesh: Optional[Any] = None,
 ) -> TrainState:
     """Initialize model params on the sample batch and build the state.
-    With a mesh, params/opt_state are placed replicated (the 'model' axis is
-    1 for this family; all shardings still route through the mesh)."""
+
+    With a mesh: replicated placement when the 'model' axis is 1 (pure data
+    parallel), tensor-parallel column/row layouts (parallel/tp.py) when it
+    is >1 — so `mesh: {model: N}` in a config is the only switch needed."""
     params = model.init(rng, sample_batch)
     state = TrainState.create(params, tx)
     if mesh is not None:
+        from demovlp_tpu.parallel.mesh import MODEL_AXIS
+
+        if dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1) > 1:
+            from demovlp_tpu.parallel.tp import shard_state
+
+            return shard_state(state, mesh)
         sharding = replicated_sharding(mesh)
         state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,

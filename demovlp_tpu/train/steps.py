@@ -149,7 +149,9 @@ def make_retrieval_eval_step(model, loss_obj, mesh) -> Callable:
     return jax.jit(step, in_shardings=(rep, dat), out_shardings=(dat, rep))
 
 
-def make_qa_train_step(model, loss_obj, tx, mesh) -> Callable:
+def make_qa_train_step(model, loss_obj, tx, mesh, state_sharding=None) -> Callable:
+    """state_sharding: optional TrainState-shaped NamedSharding pytree
+    (parallel/tp.py) for tensor-parallel layouts; None = replicated."""
     def step(state: TrainState, batch, lr, rng):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -176,10 +178,11 @@ def make_qa_train_step(model, loss_obj, tx, mesh) -> Callable:
 
     rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
+    st = state_sharding if state_sharding is not None else rep
     return jax.jit(
         step,
-        in_shardings=(rep, dat, None, None),
-        out_shardings=(rep, rep),
+        in_shardings=(st, dat, None, None),
+        out_shardings=(st, rep),
         donate_argnums=(0,),
     )
 

@@ -122,3 +122,24 @@ def test_tp_train_step_matches_data_parallel(tp_mesh):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0.05, atol=2e-4
         )
+
+
+def test_create_train_state_places_tp_layouts(tp_mesh):
+    """`mesh: {model: N>1}` in a config is the only switch: create_train_state
+    must place column/row TP shardings (not replicate)."""
+    from demovlp_tpu.train.state import create_train_state
+
+    model = _model()
+    tx = make_optimizer(lr=1e-3)
+    st = create_train_state(
+        model, tx, _batch(2), jax.random.PRNGKey(0), tp_mesh
+    )
+    qkv = st.params["params"]["object_model"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+    mu = st.opt_state.inner_state[0].mu
+    assert (
+        mu["params"]["text_tower"]["text_model"]["layer_0"]["ffn_lin1"][
+            "kernel"
+        ].sharding.spec
+        == P(None, "model")
+    )
