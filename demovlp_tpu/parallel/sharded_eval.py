@@ -99,6 +99,7 @@ def sharded_local_sims(
     focal_type: str = "prob",
     backend: str | None = None,
     chunk_rows: int = 0,
+    cap_chunk_rows: int = 0,
 ) -> np.ndarray:
     """Full (n_videos, n_texts) local similarity matrix on the mesh.
 
@@ -106,6 +107,9 @@ def sharded_local_sims(
       img_feats (Ni, R, D), lang_feats (Nc, W, D),
       img_mask additive (Ni, R), lang_mask additive (Nc, W)
       chunk_rows: gallery rows per dispatch (0 = DEMOVLP_EVAL_CHUNK, 4096)
+      cap_chunk_rows: caption rows per column block (0 =
+        DEMOVLP_EVAL_CAP_CHUNK, 8192) — the caption buffer has the same
+        >2 GiB transfer hazard as the gallery's
     """
     img_feats = np.asarray(img_feats, dtype=np.float32)
     lang_feats = np.asarray(lang_feats, dtype=np.float32)
@@ -114,6 +118,28 @@ def sharded_local_sims(
 
     n_img = img_feats.shape[0]
     n_cap = lang_feats.shape[0]
+
+    if cap_chunk_rows <= 0:
+        cap_chunk_rows = int(os.environ.get("DEMOVLP_EVAL_CAP_CHUNK", 8192))
+    if n_cap > cap_chunk_rows:
+        # column blocks via recursion; the last block is padded to the chunk
+        # shape (inert -100 mask rows) so every block shares one executable
+        out = np.empty((n_img, n_cap), dtype=np.float32)
+        for cs in range(0, n_cap, cap_chunk_rows):
+            ce = min(cs + cap_chunk_rows, n_cap)
+            lf = _pad_to(lang_feats[cs:ce], cap_chunk_rows)
+            lm = np.full(
+                (cap_chunk_rows, lang_mask.shape[1]), -100.0, np.float32
+            )
+            lm[: ce - cs] = lang_mask[cs:ce]
+            out[:, cs:ce] = sharded_local_sims(
+                img_feats, lf, img_mask, lm, mesh,
+                segment=segment, cap_segment=cap_segment,
+                lambda_softmax=lambda_softmax, focal_type=focal_type,
+                backend=backend, chunk_rows=chunk_rows,
+                cap_chunk_rows=cap_chunk_rows,
+            )[:, : ce - cs]
+        return out
     from demovlp_tpu.ops.xattn import get_backend
 
     if backend is None:

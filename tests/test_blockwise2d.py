@@ -65,3 +65,22 @@ def test_sharded_chunked_gallery_matches_dense():
     )
     assert got.shape == (21, 9)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_cap_chunked_matches_dense():
+    """Caption-axis column chunking (same >2 GiB transfer hazard as the
+    gallery axis): ragged last column block, padded to one executable."""
+    img, lang, imask, lmask = _inputs(ni=10, nc=19, seed=5)
+    mesh = create_mesh()
+    got = sharded_local_sims(
+        img, lang, imask, lmask, mesh, segment=2, focal_type="equal",
+        chunk_rows=6, cap_chunk_rows=8,  # both axes chunked, both ragged
+    )
+    want = np.asarray(
+        xattn_score(
+            jnp.array(img), jnp.array(lang), jnp.array(imask),
+            jnp.array(lmask), 20.0, "equal",
+        )
+    )
+    assert got.shape == (10, 19)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
