@@ -77,10 +77,18 @@ def main() -> None:
     mesh = create_mesh()
     from demovlp_tpu.models.distilbert import DistilBertConfig
 
+    # LayerNorm compute dtype (BENCH_NORM_DTYPE=float32 for reference-exact
+    # norm numerics; bf16 drops the per-norm converts, see models/layers.py)
+    norm_dtype = (
+        jnp.bfloat16
+        if os.environ.get("BENCH_NORM_DTYPE", "float32") == "bfloat16"
+        else jnp.float32
+    )
     model = ObjectRelation(
         object_num=k, num_frames=f, dtype=dtype, object_depth=obj_depth,
         text_config=DistilBertConfig(n_layers=text_layers),
         attn_impl=os.environ.get("BENCH_ATTN", "xla"),
+        norm_dtype=norm_dtype,
     )
     rng = jax.random.PRNGKey(0)       # init (threefry, like trainers)
     step_rng = fast_prng_key(0)       # dropout stream (rbg by default)

@@ -33,13 +33,15 @@ class DistilBertConfig:
 
 class _LayerNorm(nn.Module):
     epsilon: float
+    dtype: Any = jnp.float32  # compute dtype; params stay f32 (layers.py note)
 
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
-        y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        )
+        y = nn.LayerNorm(
+            epsilon=self.epsilon, dtype=self.dtype, param_dtype=jnp.float32,
+            force_float32_reductions=(self.dtype == jnp.float32),
+        )(x.astype(self.dtype))
         return y.astype(orig)
 
 
@@ -76,6 +78,7 @@ class _SelfAttention(nn.Module):
 class _TransformerBlock(nn.Module):
     config: DistilBertConfig
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, add_bias, deterministic: bool = True):
@@ -83,17 +86,18 @@ class _TransformerBlock(nn.Module):
         attn = _SelfAttention(cfg, self.dtype, name="attention")(
             x, add_bias, deterministic
         )
-        x = _LayerNorm(cfg.layer_norm_eps, name="sa_layer_norm")(x + attn)
+        x = _LayerNorm(cfg.layer_norm_eps, self.norm_dtype, name="sa_layer_norm")(x + attn)
         y = nn.Dense(cfg.hidden_dim, dtype=self.dtype, name="ffn_lin1")(x)
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(cfg.dim, dtype=self.dtype, name="ffn_lin2")(y)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
-        return _LayerNorm(cfg.layer_norm_eps, name="output_layer_norm")(x + y)
+        return _LayerNorm(cfg.layer_norm_eps, self.norm_dtype, name="output_layer_norm")(x + y)
 
 
 class DistilBertModel(nn.Module):
     config: DistilBertConfig = DistilBertConfig()
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, deterministic: bool = True):
@@ -110,7 +114,7 @@ class DistilBertModel(nn.Module):
             cfg.max_position_embeddings, cfg.dim, dtype=self.dtype,
             name="position_embeddings",
         )(positions)
-        x = _LayerNorm(cfg.layer_norm_eps, name="emb_layer_norm")(word_emb + pos_emb)
+        x = _LayerNorm(cfg.layer_norm_eps, self.norm_dtype, name="emb_layer_norm")(word_emb + pos_emb)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
 
         # large-negative additive bias for padded keys (HF uses masked_fill
@@ -119,7 +123,7 @@ class DistilBertModel(nn.Module):
         add_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
 
         for i in range(cfg.n_layers):
-            x = _TransformerBlock(cfg, self.dtype, name=f"layer_{i}")(
+            x = _TransformerBlock(cfg, self.dtype, self.norm_dtype, name=f"layer_{i}")(
                 x, add_bias, deterministic
             )
         return x

@@ -28,6 +28,7 @@ class _TextTower(nn.Module):
     projection_dim: int = 256
     text_config: DistilBertConfig = DistilBertConfig()
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -37,9 +38,9 @@ class _TextTower(nn.Module):
         deterministic: bool = True,
         return_hidden: bool = False,
     ):
-        hidden = DistilBertModel(self.text_config, self.dtype, name="text_model")(
-            input_ids, attention_mask, deterministic
-        )
+        hidden = DistilBertModel(
+            self.text_config, self.dtype, self.norm_dtype, name="text_model"
+        )(input_ids, attention_mask, deterministic)
         # "minimal" projection: ReLU then Dense (reference model.py:40-43)
         proj = nn.Dense(self.projection_dim, dtype=self.dtype, name="txt_proj")(
             nn.relu(hidden)
@@ -87,11 +88,15 @@ class ObjectRelation(nn.Module):
     attn_impl: str = "xla"
     with_mlm: bool = False
     dtype: Any = jnp.float32
+    # LayerNorm compute dtype for both towers (f32 = reference numerics;
+    # bfloat16 drops per-norm converts — models/layers.LayerNormFp32)
+    norm_dtype: Any = jnp.float32
     remat: bool = False
 
     def setup(self):
         self.text_tower = _TextTower(
-            self.projection_dim, self.text_config, self.dtype, name="text_tower"
+            self.projection_dim, self.text_config, self.dtype,
+            self.norm_dtype, name="text_tower"
         )
         self.object_model = ObjectTransformer(
             input_dim=2054,
@@ -104,6 +109,7 @@ class ObjectRelation(nn.Module):
             num_heads=self.object_heads,
             attn_impl=self.attn_impl,
             dtype=self.dtype,
+            norm_dtype=self.norm_dtype,
             remat=self.remat,
             name="object_model",
         )
@@ -167,11 +173,13 @@ class ObjectQARelation(nn.Module):
     object_heads: int = 12
     attn_impl: str = "xla"
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32  # see ObjectRelation
     remat: bool = False
 
     def setup(self):
         self.text_tower = _TextTower(
-            self.projection_dim, self.text_config, self.dtype, name="text_tower"
+            self.projection_dim, self.text_config, self.dtype,
+            self.norm_dtype, name="text_tower"
         )
         self.object_model = ObjectTransformer(
             input_dim=2054,
@@ -184,6 +192,7 @@ class ObjectQARelation(nn.Module):
             num_heads=self.object_heads,
             attn_impl=self.attn_impl,
             dtype=self.dtype,
+            norm_dtype=self.norm_dtype,
             remat=self.remat,
             name="object_model",
         )

@@ -166,6 +166,7 @@ class SpaceTimeBlock(nn.Module):
     dropout_rate: float = 0.0
     attn_impl: str = "xla"
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, add_mask, frames: int, patches: int, deterministic: bool = True):
@@ -178,14 +179,14 @@ class SpaceTimeBlock(nn.Module):
                 attn_impl=self.attn_impl,
                 dtype=self.dtype,
                 name="timeattn",
-            )(LayerNormFp32(name="norm3")(x), add_mask, "time", frames, patches)
+            )(LayerNormFp32(dtype=self.norm_dtype, name="norm3")(x), add_mask, "time", frames, patches)
             time_residual = x + t
         else:
             time_residual = x
         s = VarAttention(
             self.dim, self.num_heads, self.qkv_bias,
             attn_impl=self.attn_impl, dtype=self.dtype, name="attn",
-        )(LayerNormFp32(name="norm1")(time_residual), add_mask, "space", frames, patches)
+        )(LayerNormFp32(dtype=self.norm_dtype, name="norm1")(time_residual), add_mask, "space", frames, patches)
         # residual from the ORIGINAL x (frozen-in-time), reference :266-267
         space_residual = x + s
         m = Mlp(
@@ -193,7 +194,7 @@ class SpaceTimeBlock(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             name="mlp",
-        )(LayerNormFp32(name="norm2")(space_residual), deterministic=deterministic)
+        )(LayerNormFp32(dtype=self.norm_dtype, name="norm2")(space_residual), deterministic=deterministic)
         return space_residual + m
 
 
@@ -215,6 +216,9 @@ class ObjectTransformer(nn.Module):
     dropout_rate: float = 0.0
     attn_impl: str = "xla"
     dtype: Any = jnp.float32
+    # LayerNorm compute dtype: f32 = reference numerics; bf16 drops the
+    # up/down converts around every norm (see layers.LayerNormFp32)
+    norm_dtype: Any = jnp.float32
     remat: bool = False  # jax.checkpoint each block (memory/flops trade)
 
     @nn.compact
@@ -280,6 +284,7 @@ class ObjectTransformer(nn.Module):
                 dropout_rate=self.dropout_rate,
                 attn_impl=self.attn_impl,
                 dtype=self.dtype,
+                norm_dtype=self.norm_dtype,
                 name=f"blocks_{i}",
             )(h, add_mask, F, K, deterministic)
 

@@ -85,13 +85,15 @@ def func_attention(
     query = l2norm(query, axis=-1)
     context = l2norm(context, axis=-1)
 
-    # (Bc, Bq, Ls, Lq) raw attention logits
-    attn = jnp.einsum("csd,qld->cqsl", context, query)
+    # (Bc, Bq, Lq, Ls) raw attention logits — emitted directly in the layout
+    # the softmax needs. (The reference computes (...,Ls,Lq) and transposes,
+    # loss.py:230-240; on TPU that materialized an explicit O(B^2 L^2) copy
+    # — ~10% of the train step in the device profile. Same math: the l2norm
+    # over the query axis just moves from the last axis to axis 2.)
+    attn = jnp.einsum("csd,qld->cqls", context, query)
     attn = jax.nn.leaky_relu(attn, negative_slope=0.1)
     # l2norm over the *query* axis — reference loss.py:238 (l2norm(attn, 3))
-    attn = l2norm(attn, axis=-1)
-    # -> (Bc, Bq, Lq, Ls)
-    attn = jnp.swapaxes(attn, 2, 3)
+    attn = l2norm(attn, axis=2)
     # cast masks to the compute dtype: f32 masks would silently promote the
     # whole O(B^2) pipeline back to f32 under jnp type promotion
     query_mask = query_mask.astype(attn.dtype)

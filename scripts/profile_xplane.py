@@ -75,8 +75,11 @@ def main():
             state, m = step(state, sb, 1e-5, step_rng)
         float(m["loss"])
 
-    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
-    print("xplane files:", files)
+    files = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    print("xplane files (oldest->newest):", files)
     if not files:
         return
     # Parse raw xplane proto: sum durations per event name on device planes
