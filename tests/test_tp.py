@@ -143,3 +143,38 @@ def test_create_train_state_places_tp_layouts(tp_mesh):
         ].sharding.spec
         == P(None, "model")
     )
+
+
+def test_checkpoint_reshards_tp_to_replicated(tp_mesh, tmp_path):
+    """A checkpoint written from a TP-sharded run must restore into a
+    differently-sharded (replicated) topology — elastic production resume
+    across mesh shapes."""
+    from demovlp_tpu.parallel import replicated_sharding
+    from demovlp_tpu.train.checkpoint import CheckpointManager
+
+    model = _model()
+    tx = make_optimizer(lr=1e-3)
+    params = model.init(jax.random.PRNGKey(0), _batch(2))
+    state_tp = shard_state(TrainState.create(params, tx), tp_mesh)
+
+    mgr = CheckpointManager(tmp_path, arch="ObjectRelation")
+    mgr.save(state_tp, epoch=1, monitor_best=0.5)
+
+    # template: same pytree, replicated over the full 8-device mesh
+    full = create_mesh()
+    rep = replicated_sharding(full)
+    template = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep)
+        if hasattr(x, "shape") and x.ndim > 0
+        else x,
+        state_tp,
+    )
+    restored, meta = mgr.restore(mgr.latest(), template)
+    assert meta["epoch"] == 1
+    qkv = restored.params["params"]["object_model"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P()  # replicated now
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state_tp.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
