@@ -27,10 +27,13 @@ logger = logging.getLogger(__name__)
 def build_mesh(config: ConfigParser):
     from demovlp_tpu.utils.cache import enable_compile_cache
 
+    # multi-host init FIRST: enable_compile_cache keys the cache dir off the
+    # backend (jax.extend.backend.get_backend()), and any backend use before
+    # jax.distributed.initialize breaks multi-host startup
+    setup_distributed()
     enable_compile_cache()
     # (dropout rbg keys are created per-trainer via utils.prng.fast_prng_key —
     # never a global jax_default_prng_impl flip, which leaks across the process)
-    setup_distributed()
     backend = config.get("ops", {}).get("xattn_backend")
     if backend:
         from demovlp_tpu.ops import xattn

@@ -86,8 +86,17 @@ class RegionDataset:
 
     def _frame_indices(self, vlen: int, rng: np.random.Generator):
         if self.split == "train":
-            return sample_frame_indices(self.segments, vlen, "rand", rng)
-        return sample_frame_indices(self.segments, vlen, "uniform")
+            idxs = sample_frame_indices(self.segments, vlen, "rand", rng)
+        else:
+            idxs = sample_frame_indices(self.segments, vlen, "uniform")
+        # vlen < num_frames yields fewer indices (sampling.py acc_samples =
+        # min(segments, vlen)); fixed batch shapes need exactly `segments`
+        # frames, so repeat the last one. Documented deviation: the
+        # reference instead raises inside random.choice and silently swaps
+        # the whole sample (MSRVTT_dataset.py:152-157).
+        while len(idxs) < self.segments:
+            idxs.append(idxs[-1])
+        return idxs
 
     def _load_objects(self, index: int, rng: np.random.Generator):
         """Returns (object, mask, lens) or None if the sample is unreadable."""

@@ -145,16 +145,27 @@ class RegionDataLoader:
             )
             plans.append(ds.plan_item(int(idx), rng))
         b = len(plans)
-        f = len(plans[0][0])
+        f = int(ds.segments)
         k = ds.object_num
         feat = np.zeros((b * f, k, REGION_DIM), dtype=np.float32)
         mask = np.zeros((b * f, k), dtype=np.float32)
         lens = np.zeros(b * f, dtype=np.int32)
-        flat = [p for paths, _ in plans for p in paths]
+        # a short video (vlen < num_frames) plans fewer paths; feeding a
+        # ragged flat list would make the native call write past the
+        # (b*f)-sized buffers — route those rows through the per-sample
+        # path instead (which fails as loudly as the non-batched loader)
+        bad = np.zeros(b, dtype=bool)
+        flat = []
+        for i, (paths, _) in enumerate(plans):
+            if len(paths) == f:
+                flat.extend(paths)
+            else:
+                bad[i] = True
+                flat.extend([""] * f)  # placeholders decode to error status
         status = reader.read_paths_into(flat, k, feat, mask, lens)
         feat = feat.reshape(b, f, k, REGION_DIM)
         mask = mask.reshape(b, f, k)
-        bad = status.reshape(b, f).any(axis=1)
+        bad |= status.reshape(b, f).any(axis=1)
         datas = [data for _, data in plans]
         for i in np.nonzero(bad)[0]:
             # rare corrupt file: redo this row per-sample (same seeded rng

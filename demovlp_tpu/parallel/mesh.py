@@ -30,12 +30,20 @@ def setup_distributed() -> None:
     single host). The env-var contract replaces MASTER_ADDR/PORT/RANK:
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID."""
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord and jax.process_count() == 1:
+    if not coord:
+        return
+    # no jax.process_count() guard here: it would initialize the local
+    # backend, and jax.distributed.initialize must run BEFORE any backend
+    # use. A repeated call raises instead — treat that as "already set up".
+    try:
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
+    except RuntimeError as exc:
+        if "already" not in str(exc).lower():
+            raise
 
 
 def create_mesh(

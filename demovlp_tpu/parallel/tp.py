@@ -50,7 +50,10 @@ def tp_spec(path, leaf, model_size: int) -> P:
         return P()
     mod, kind = names[-2], names[-1]
     parent = names[-3] if len(names) >= 3 else ""
-    row = mod in _ROW or (mod == "proj" and parent == "attn")
+    # 'proj' is row-parallel only under an attention module (space 'attn' or
+    # temporal 'timeattn') — the towers' FINAL projections are also named
+    # 'proj' and must stay replicated
+    row = mod in _ROW or (mod == "proj" and parent in ("attn", "timeattn"))
     if mod in _COLUMN:
         if kind == "kernel" and leaf.ndim == 2 and leaf.shape[1] % model_size == 0:
             return P(None, MODEL_AXIS)
@@ -77,3 +80,15 @@ def shard_state(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(
         jax.device_put, tree, state_shardings(tree, mesh)
     )
+
+
+def has_model_axis(mesh: Mesh) -> bool:
+    """True iff the mesh carries a real (>1) 'model' axis."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1) > 1
+
+
+def state_shardings_or_none(tree: Any, mesh: Mesh):
+    """TP sharding pytree when the mesh has a real 'model' axis, else None
+    (= the replicated data-parallel default). The single switch used by the
+    trainers, create_train_state and the driver dryrun."""
+    return state_shardings(tree, mesh) if has_model_axis(mesh) else None

@@ -13,6 +13,7 @@ from typing import Any, Dict, List, Optional
 import jax
 import numpy as np
 
+from demovlp_tpu.parallel.tp import state_shardings_or_none
 from demovlp_tpu.utils.prng import fast_prng_key
 from demovlp_tpu.parallel.mesh import shard_batch
 from demovlp_tpu.train.base_trainer import BaseTrainer
@@ -80,7 +81,7 @@ class QATrainer(BaseTrainer):
         self.state = create_train_state(model, tx, sample, self.init_rng, mesh)
         self._train_step = make_qa_train_step(
             model, loss, tx, mesh,
-            state_sharding=_tp_sharding(self.state, mesh),
+            state_sharding=state_shardings_or_none(self.state, mesh),
         )
         self._eval_step = make_qa_eval_step(model, mesh)
 
@@ -167,15 +168,3 @@ class QATrainer(BaseTrainer):
             res_dict[f"val_loss_{dl_idx}"] = 0.0
         res_dict["nested_val_metrics"] = nested_metrics
         return res_dict
-
-def _tp_sharding(state, mesh):
-    """TrainState sharding pytree when the mesh has a real 'model' axis
-    (tensor parallelism, parallel/tp.py); None = replicated (the default
-    data-parallel layout)."""
-    from demovlp_tpu.parallel.mesh import MODEL_AXIS
-
-    if dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1) > 1:
-        from demovlp_tpu.parallel.tp import state_shardings
-
-        return state_shardings(state, mesh)
-    return None

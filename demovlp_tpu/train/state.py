@@ -41,11 +41,9 @@ def create_train_state(
     params = model.init(rng, sample_batch)
     state = TrainState.create(params, tx)
     if mesh is not None:
-        from demovlp_tpu.parallel.mesh import MODEL_AXIS
+        from demovlp_tpu.parallel.tp import has_model_axis, shard_state
 
-        if dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1) > 1:
-            from demovlp_tpu.parallel.tp import shard_state
-
+        if has_model_axis(mesh):
             return shard_state(state, mesh)
         sharding = replicated_sharding(mesh)
         state = jax.tree_util.tree_map(

@@ -146,7 +146,12 @@ def make_retrieval_eval_step(model, loss_obj, mesh) -> Callable:
 
     rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
-    return jax.jit(step, in_shardings=(rep, dat), out_shardings=(dat, rep))
+    # params in_sharding None = inherit the committed layout: replicated in
+    # the default data-parallel case, column/row TP layouts when the state
+    # was created on a model>1 mesh (forcing `rep` here made every TP run
+    # crash at its first validation — jit rejects committed-vs-declared
+    # sharding mismatches)
+    return jax.jit(step, in_shardings=(None, dat), out_shardings=(dat, rep))
 
 
 def make_qa_train_step(model, loss_obj, tx, mesh, state_sharding=None) -> Callable:
@@ -192,9 +197,9 @@ def make_qa_eval_step(model, mesh) -> Callable:
         out = model.apply(params, batch, deterministic=True)
         return out["logits"]
 
-    rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
-    return jax.jit(step, in_shardings=(rep, dat), out_shardings=dat)
+    # None = inherit committed param layout (TP-safe; see retrieval eval)
+    return jax.jit(step, in_shardings=(None, dat), out_shardings=dat)
 
 
 def make_mc_eval_step(model, loss_obj, mesh, n_options: int = 5) -> Callable:
@@ -218,4 +223,5 @@ def make_mc_eval_step(model, loss_obj, mesh, n_options: int = 5) -> Callable:
         return sims[0]
 
     rep = replicated_sharding(mesh)
-    return jax.jit(step, in_shardings=(rep, rep), out_shardings=rep)
+    # params None = inherit committed layout (TP-safe; see retrieval eval)
+    return jax.jit(step, in_shardings=(None, rep), out_shardings=rep)

@@ -114,3 +114,35 @@ def test_loader_disables_batch_path_for_overriding_datasets(tmp_path):
         process_index=0, process_count=1,
     )
     assert loader._native_batch_reader() is None
+
+
+@needs_native
+def test_short_video_pads_frames_and_matches(tmp_path, monkeypatch):
+    """A video with fewer files than num_frames repeats its last frame
+    (base._frame_indices) — fixed shapes in BOTH loader paths, equal
+    batches. Regression for the native-batch OOB-write hazard."""
+    root = _make_tree(tmp_path, n_videos=6, frames=3)
+    # v02 gets only 2 frames: below num_frames=2? use num_frames=3 loaders
+    for f in ("2.npz",):
+        os.remove(os.path.join(root, "v02", f))
+
+    def loader():
+        ds = _TreeDataset(
+            "tree",
+            object_params={"num_frames": 3, "object_num": 5},
+            data_dir=root,
+            split="train",
+        )
+        return RegionDataLoader(
+            ds, batch_size=3, shuffle=True, num_workers=2, drop_last=True,
+            process_index=0, process_count=1,
+        )
+
+    monkeypatch.setenv("DEMOVLP_NATIVE_BATCH", "1")
+    batched = _collect(loader())
+    monkeypatch.setenv("DEMOVLP_NATIVE_BATCH", "0")
+    per_sample = _collect(loader())
+    for a, b in zip(batched, per_sample):
+        assert a["object"].shape[1] == 3  # always num_frames frames
+        np.testing.assert_array_equal(a["object"], b["object"])
+        np.testing.assert_array_equal(a["object_mask"], b["object_mask"])

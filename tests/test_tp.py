@@ -178,3 +178,30 @@ def test_checkpoint_reshards_tp_to_replicated(tp_mesh, tmp_path):
         jax.tree_util.tree_leaves(state_tp.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_eval_step_accepts_tp_params(tp_mesh):
+    """Eval steps must run on TP-committed params (they previously declared
+    replicated in_shardings and jit rejected the mismatch — every TP run
+    crashed at its first validation)."""
+    from demovlp_tpu.train.steps import make_retrieval_eval_step
+
+    model = _model()
+    loss = GlobalLocalLoss(
+        use_local=True, use_global=True, coef=1.0, focal_type="equal"
+    )
+    params = model.init(jax.random.PRNGKey(0), _batch(8))
+    tx = make_optimizer(lr=1e-3)
+    state_tp = shard_state(TrainState.create(params, tx), tp_mesh)
+
+    eval_step = make_retrieval_eval_step(model, loss, tp_mesh)
+    out, (total, g, l) = eval_step(
+        state_tp.params, shard_batch(_batch(8), tp_mesh)
+    )
+    assert np.isfinite(float(total))
+
+    # replicated reference value matches
+    single = create_mesh(devices=np.array(jax.devices()[:1]))
+    eval1 = make_retrieval_eval_step(model, loss, single)
+    _, (total1, _, _) = eval1(params, _batch(8))
+    np.testing.assert_allclose(float(total), float(total1), rtol=1e-4)
