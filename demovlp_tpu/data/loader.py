@@ -129,7 +129,7 @@ class RegionDataLoader:
             return None
         return get_native_reader()
 
-    def _fetch_batch_native(self, batch_idx, reader) -> Dict[str, Any]:
+    def _fetch_batch_native(self, batch_idx, reader, pool) -> Dict[str, Any]:
         """One C++ threaded call decodes the whole batch's npz files into the
         final (B, F, K, 2054) buffers — no per-sample numpy allocs, no
         collate re-stack. Per-sample Python keeps only text/meta selection;
@@ -138,22 +138,28 @@ class RegionDataLoader:
         from demovlp_tpu.data.regions import REGION_DIM
 
         ds = self.dataset
-        plans = []
-        for idx in batch_idx:
+
+        def _plan(idx):
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch, int(idx)])
             )
-            plans.append(ds.plan_item(int(idx), rng))
+            return ds.plan_item(int(idx), rng)
+
+        # planning does per-sample metadata IO (exists/listdir) — keep it
+        # concurrent like the per-sample path (each sample has its own
+        # seeded rng, so pool parallelism preserves determinism)
+        plans = list(pool.map(_plan, batch_idx))
         b = len(plans)
         f = int(ds.segments)
         k = ds.object_num
         feat = np.zeros((b * f, k, REGION_DIM), dtype=np.float32)
         mask = np.zeros((b * f, k), dtype=np.float32)
         lens = np.zeros(b * f, dtype=np.int32)
-        # a short video (vlen < num_frames) plans fewer paths; feeding a
-        # ragged flat list would make the native call write past the
-        # (b*f)-sized buffers — route those rows through the per-sample
-        # path instead (which fails as loudly as the non-batched loader)
+        # defensive only: base plan_paths always yields exactly `segments`
+        # paths (_frame_indices pads short videos), but a subclass override
+        # returning a ragged list would otherwise make the native call
+        # write past the (b*f)-sized buffers — route such rows through the
+        # per-sample path (which fails as loudly as the non-batched loader)
         bad = np.zeros(b, dtype=bool)
         flat = []
         for i, (paths, _) in enumerate(plans):
@@ -232,7 +238,7 @@ class RegionDataLoader:
                         if native is not None:
                             # whole-batch C++ assembly (threaded in native
                             # code; bit-identical to the pool path)
-                            out = self._fetch_batch_native(batch_idx, native)
+                            out = self._fetch_batch_native(batch_idx, native, pool)
                         else:
                             items = list(pool.map(self._fetch, batch_idx))
                             out = collate(items)

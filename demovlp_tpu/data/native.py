@@ -73,14 +73,20 @@ class NativeRegionReader:
         falls back per-row on the rare corrupt file."""
         f = len(paths)
         status = np.zeros(f, dtype=np.int32)
+        if f == 0 or object_num <= 0:
+            # argument-level failures return from C before any per-file
+            # status is written — an all-zero status would read as success
+            raise ValueError(f"read_paths_into: n_paths={f}, K={object_num}")
         arr = (ctypes.c_char_p * f)(*[p.encode() for p in paths])
-        self.lib.demovlp_read_frames(
+        rc = self.lib.demovlp_read_frames(
             arr, f, object_num, self.n_threads,
             feat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
+        if rc != 0 and not status.any():
+            raise ValueError(f"native decode arg failure rc={rc}")
         return status
 
     def read_paths(self, paths: Sequence[str], object_num: int):

@@ -34,16 +34,15 @@ def setup_distributed() -> None:
         return
     # no jax.process_count() guard here: it would initialize the local
     # backend, and jax.distributed.initialize must run BEFORE any backend
-    # use. A repeated call raises instead — treat that as "already set up".
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
-        )
-    except RuntimeError as exc:
-        if "already" not in str(exc).lower():
-            raise
+    # use. jax.distributed.is_initialized() probes only the distributed
+    # state, keeping repeat calls (second trainer, retries) idempotent.
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]),
+    )
 
 
 def create_mesh(

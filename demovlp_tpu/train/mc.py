@@ -38,10 +38,22 @@ def merge_mc_predictions(
     id2idx = {mc_id: i for i, mc_id in enumerate(metadata_ids)}
     local_idx = np.asarray([id2idx[k] for k in preds], np.int64)
     local_pred = np.asarray(list(preds.values()), np.int64)
+    # hosts can hold UNEQUAL counts (a corrupt sample resampled onto an
+    # mc_id already in the shard collapses two dict entries), and
+    # process_allgather needs equal shapes: gather the counts first, pad to
+    # the max with -1 sentinels, drop them after the gather
+    counts = allgather(np.asarray([local_idx.size], np.int64))
+    cap = int(np.max(counts))
+    if local_idx.size < cap:
+        fill = np.full(cap - local_idx.size, -1, np.int64)
+        local_idx = np.concatenate([local_idx, fill])
+        local_pred = np.concatenate([local_pred, fill])
     all_idx = allgather(local_idx)
     all_pred = allgather(local_pred)
     return {
-        metadata_ids[int(i)]: int(p) for i, p in zip(all_idx, all_pred)
+        metadata_ids[int(i)]: int(p)
+        for i, p in zip(all_idx, all_pred)
+        if i >= 0
     }
 
 
