@@ -54,12 +54,22 @@ def inflate_temporal_embed(
         out[:, :load_frames] = embed
         return out
     if mode in ("interp", "bilinear"):
-        # resize along the frame axis; 'interp' = nearest, 'bilinear' = linear
-        src = embed[0]  # (F, D)
-        pos = np.linspace(0, load_frames - 1, target_frames)
+        # resize along the frame axis with the EXACT torch F.interpolate
+        # semantics the reference uses (model/model.py:121-133): 'interp' =
+        # mode='nearest' (floor(i*scale) source index), 'bilinear' =
+        # mode='bilinear' with the default align_corners=False (half-pixel
+        # centers). The (frames, dim) "image"'s dim axis has scale 1, so only
+        # the frame axis actually resamples.
+        src = embed[0].astype(np.float32)  # (F, D)
+        scale = load_frames / target_frames
         if mode == "interp":
-            idx = np.round(pos).astype(int)
-            return src[idx][None]
+            idx = np.minimum(
+                (np.arange(target_frames) * scale).astype(int), load_frames - 1
+            )
+            return src[idx][None].astype(embed.dtype)
+        pos = np.clip(
+            (np.arange(target_frames) + 0.5) * scale - 0.5, 0, load_frames - 1
+        )
         lo = np.floor(pos).astype(int)
         hi = np.minimum(lo + 1, load_frames - 1)
         frac = (pos - lo)[:, None]
@@ -211,6 +221,46 @@ def _convert_qa_head(sd: Dict, prefix: str) -> Dict:
     }
 
 
+class _TrackingDict(dict):
+    """dict recording which state-dict keys the conversion consumed."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        hit = super().__contains__(k)
+        if hit:
+            self.consumed.add(k)
+        return hit
+
+
+def _expected_unused(key: str, has_time_module: bool) -> bool:
+    """Keys a reference ObjectRelation state dict carries but whose params
+    the reference model itself never applies:
+      * object_model.norm.* — the final LayerNorm is created but never called
+        (object_transformer.py:381,437-452)
+      * blocks.N.norm3.* — only applied on the 'timeattn' path
+        (object_transformer.py:245-261); dead weights otherwise
+      * HF position_ids — a non-parameter buffer in older transformers
+    """
+    import re
+
+    if re.fullmatch(r"object_model\.norm\.(weight|bias)", key):
+        return True
+    if not has_time_module and re.fullmatch(
+        r"object_model\.blocks\.\d+\.norm3\.(weight|bias)", key
+    ):
+        return True
+    if key == "text_model.embeddings.position_ids":
+        return True
+    return False
+
+
 # --------------------------------------------------------------------------
 def convert_reference_checkpoint(
     state_dict: Dict[str, np.ndarray],
@@ -220,14 +270,23 @@ def convert_reference_checkpoint(
     temporal_fix: str = "zeros",
     has_qa_head: Optional[bool] = None,
     has_time_module: Optional[bool] = None,
+    strict: bool = False,
 ) -> Dict:
     """Reference model state_dict (numpy values) -> flax params
-    {'params': {...}} for ObjectRelation / ObjectQARelation / ObjectMCRelation."""
+    {'params': {...}} for ObjectRelation / ObjectQARelation / ObjectMCRelation.
+
+    strict=True asserts the conversion is TOTAL over the checkpoint: every
+    state-dict key is either consumed by the mapping or provably dead in the
+    reference model itself (see _expected_unused); anything else raises —
+    the guard against a released checkpoint carrying weights we'd silently
+    drop."""
     sd = strip_dp_prefix(state_dict)
     if has_qa_head is None:
         has_qa_head = any(k.startswith("head.") for k in sd)
     if has_time_module is None:
         has_time_module = any(".timeattn." in k for k in sd)
+    if strict:
+        sd = _TrackingDict(sd)
 
     params = {
         "text_tower": {
@@ -240,6 +299,17 @@ def convert_reference_checkpoint(
     }
     if has_qa_head:
         params["head"] = _convert_qa_head(sd, "head.")
+    if strict:
+        leftover = [
+            k
+            for k in set(sd) - sd.consumed
+            if not _expected_unused(k, has_time_module)
+        ]
+        if leftover:
+            raise ValueError(
+                "checkpoint keys not consumed by the conversion: "
+                + ", ".join(sorted(leftover))
+            )
     return {"params": params}
 
 
