@@ -80,15 +80,23 @@ class RegionDataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def _host_indices(self) -> np.ndarray:
+    def _host_indices(self):
+        """This host's sample indices, plus a per-sample validity array (or
+        None when every index is a real sample).
+
+        train (drop_last): strided equal share, excess dropped — the
+        reference's DistributedSampler semantics (base_data_loader.py:23-28).
+
+        eval (not drop_last): every host gets an EQUAL ceil(n / P) share in
+        CONTIGUOUS blocks, the tail wrap-padded with duplicates flagged
+        invalid. Equal shares keep every host dispatching the same number of
+        identically-shaped (collective) eval steps; contiguous blocks mean
+        concatenating the per-host results in process order restores the
+        exact dataset order; the validity flags let trainers drop the
+        duplicates — so multi-host eval covers ALL n samples exactly once
+        (the reference's DistributedSampler truncates eval to a multiple of
+        the world size)."""
         n = len(self.dataset)
-        # per-host equal share, excess dropped (DistributedSampler drop_last)
-        per_host = n // self.process_count
-        if per_host == 0:
-            raise ValueError(
-                f"dataset of {n} samples cannot be split over "
-                f"{self.process_count} hosts"
-            )
         if self.shuffle:
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, self.epoch])
@@ -96,14 +104,31 @@ class RegionDataLoader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        order = order[: per_host * self.process_count]
-        return order[self.process_index :: self.process_count]
+        if self.drop_last:
+            per_host = n // self.process_count
+            if per_host == 0:
+                raise ValueError(
+                    f"dataset of {n} samples cannot be split over "
+                    f"{self.process_count} hosts"
+                )
+            order = order[: per_host * self.process_count]
+            return order[self.process_index :: self.process_count], None
+        share = -(-n // self.process_count)
+        total = share * self.process_count
+        # cyclic wrap (np.resize) — the pad can exceed n when n < 2*P
+        padded = np.resize(order, total) if total > n else order
+        valid = np.arange(total) < n
+        sl = slice(self.process_index * share, (self.process_index + 1) * share)
+        if total == n:
+            return padded[sl], None
+        return padded[sl], valid[sl]
 
     def __len__(self) -> int:
-        per_host = self.n_samples // self.process_count
         if self.drop_last:
+            per_host = self.n_samples // self.process_count
             return per_host // self.batch_size
-        return -(-per_host // self.batch_size)
+        share = -(-self.n_samples // self.process_count)
+        return -(-share // self.batch_size)
 
     def _fetch(self, idx: int) -> Dict[str, Any]:
         rng = np.random.default_rng(
@@ -200,7 +225,7 @@ class RegionDataLoader:
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
-        indices = self._host_indices()
+        indices, valid = self._host_indices()
         nb = len(indices) // self.batch_size
         tail = len(indices) % self.batch_size
         batches = [
@@ -209,6 +234,13 @@ class RegionDataLoader:
         ]
         if tail and not self.drop_last:
             batches.append(indices[nb * self.batch_size :])
+        if valid is not None:
+            vbatches = [
+                valid[i * self.batch_size : (i + 1) * self.batch_size]
+                for i in range(len(batches))
+            ]
+        else:
+            vbatches = [None] * len(batches)
         if not batches:
             return iter(())
 
@@ -232,7 +264,7 @@ class RegionDataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    for batch_idx in batches:
+                    for batch_idx, vb in zip(batches, vbatches):
                         if stop.is_set():
                             return
                         if native is not None:
@@ -242,6 +274,10 @@ class RegionDataLoader:
                         else:
                             items = list(pool.map(self._fetch, batch_idx))
                             out = collate(items)
+                        if vb is not None:
+                            # multi-host eval wrap-pad flags (consistent
+                            # batch structure on every host by construction)
+                            out["sample_valid"] = vb.astype(np.float32)
                         if not _put(out):
                             return
             except BaseException as exc:  # surface to the consumer, don't hang it

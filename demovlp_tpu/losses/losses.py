@@ -19,13 +19,29 @@ import jax.numpy as jnp
 from demovlp_tpu.ops.xattn import xattn_score
 
 
-def norm_softmax_loss(sim, temperature: float = 0.05):
+def norm_softmax_loss(sim, temperature: float = 0.05, valid=None):
     """Bidirectional InfoNCE on a cosine-similarity matrix
-    (reference model/loss.py:119-138)."""
-    i_logsm = jax.nn.log_softmax(sim / temperature, axis=1)
-    j_logsm = jax.nn.log_softmax(sim.T / temperature, axis=1)
-    loss_i = jnp.mean(jnp.diag(i_logsm))
-    loss_j = jnp.mean(jnp.diag(j_logsm))
+    (reference model/loss.py:119-138).
+
+    valid: optional (N,) 0/1 row/col validity mask. Masked entries are
+    excluded from the softmax normalizations and the diagonal means; the
+    result equals the loss of sim[:n, :n] when the first n rows are valid
+    (used by eval on padded tail batches — the train path passes None and
+    is byte-identical to before)."""
+    if valid is None:
+        i_logsm = jax.nn.log_softmax(sim / temperature, axis=1)
+        j_logsm = jax.nn.log_softmax(sim.T / temperature, axis=1)
+        loss_i = jnp.mean(jnp.diag(i_logsm))
+        loss_j = jnp.mean(jnp.diag(j_logsm))
+        return -loss_i - loss_j
+    vbool = valid.astype(bool)
+    neg = jnp.where(vbool, 0.0, -jnp.inf).astype(sim.dtype)
+    i_logsm = jax.nn.log_softmax(sim / temperature + neg[None, :], axis=1)
+    j_logsm = jax.nn.log_softmax(sim.T / temperature + neg[None, :], axis=1)
+    n_valid = jnp.sum(valid.astype(sim.dtype))
+    # diag entries of valid rows are finite (their column is valid too)
+    loss_i = jnp.sum(jnp.where(vbool, jnp.diag(i_logsm), 0.0)) / n_valid
+    loss_j = jnp.sum(jnp.where(vbool, jnp.diag(j_logsm), 0.0)) / n_valid
     return -loss_i - loss_j
 
 
@@ -39,6 +55,7 @@ def rwa_loss(
     block_segment: int = 0,
     compute_dtype=None,
     remat: bool = False,
+    valid=None,
 ):
     """Region-word alignment loss: KL(softmax(lambda*scores) || ~identity)
     (reference model/loss.py:105-116).
@@ -48,6 +65,8 @@ def rwa_loss(
     the score matrix in differentiable scan blocks — bounds the (B, B, W, D)
     cross-attention intermediates for large global batches (framework
     extension; the reference always materializes the full tensor).
+    `valid`: optional (B,) 0/1 sample-validity mask (see norm_softmax_loss) —
+    the result equals the loss over the valid rows/cols alone.
     """
     if block_segment and im.shape[0] > block_segment and im.shape[0] % block_segment == 0:
         from demovlp_tpu.ops.xattn import xattn_score_blockwise
@@ -73,12 +92,24 @@ def rwa_loss(
         scores = score_fn(im, s, im_mask, s_mask, lambda_softmax,
                           focal_type, compute_dtype)
     labels = jnp.eye(im.shape[0], dtype=scores.dtype)
-    pred = jax.nn.softmax(scores * lambda_softmax, axis=1)
-    loss = pred * (
-        jax.nn.log_softmax(scores * lambda_softmax, axis=1)
-        - jnp.log(labels + 1e-6)
+    if valid is None:
+        pred = jax.nn.softmax(scores * lambda_softmax, axis=1)
+        loss = pred * (
+            jax.nn.log_softmax(scores * lambda_softmax, axis=1)
+            - jnp.log(labels + 1e-6)
+        )
+        return jnp.mean(jnp.sum(loss, axis=1))
+    vbool = valid.astype(bool)
+    neg = jnp.where(vbool, 0.0, -jnp.inf).astype(scores.dtype)
+    logits = scores * lambda_softmax + neg[None, :]
+    pred = jax.nn.softmax(logits, axis=1)  # masked cols -> exactly 0
+    ldiff = jax.nn.log_softmax(logits, axis=1) - jnp.log(labels + 1e-6)
+    # where BEFORE reading pred*ldiff at masked cols (0 * -inf = NaN)
+    loss = jnp.where(vbool[None, :], pred * ldiff, 0.0)
+    row_loss = jnp.sum(loss, axis=1)
+    return jnp.sum(jnp.where(vbool, row_loss, 0.0)) / jnp.sum(
+        valid.astype(scores.dtype)
     )
-    return jnp.mean(jnp.sum(loss, axis=1))
 
 
 def cross_entropy_loss(logits, labels):
@@ -111,8 +142,8 @@ def max_margin_ranking_loss(x, margin: float = 1.0, fix_norm: bool = True):
 class NormSoftmaxLoss:
     temperature: float = 0.05
 
-    def __call__(self, sim):
-        return norm_softmax_loss(sim, self.temperature)
+    def __call__(self, sim, valid=None):
+        return norm_softmax_loss(sim, self.temperature, valid)
 
 
 @dataclass(frozen=True)
@@ -128,12 +159,12 @@ class RWALoss:
     # recompute-in-backward for the score pipeline (numerics-identical)
     local_remat: bool = False
 
-    def __call__(self, im, s, im_mask, s_lens=None, s_mask=None):
+    def __call__(self, im, s, im_mask, s_lens=None, s_mask=None, valid=None):
         # s_lens accepted for call-surface parity (reference threads text
         # lengths through but never uses them, loss.py:294-330).
         return rwa_loss(im, s, im_mask, s_mask, self.lambda_softmax,
                         self.focal_type, self.block_segment,
-                        jnp.dtype(self.local_dtype), self.local_remat)
+                        jnp.dtype(self.local_dtype), self.local_remat, valid)
 
     def get_sim(self, im, s, im_mask, s_lens=None, s_mask=None):
         return xattn_score(im, s, im_mask, s_mask, self.lambda_softmax, self.focal_type)
@@ -172,15 +203,18 @@ class GlobalLocalLoss:
                     self.local_dtype, self.local_remat),
         )
 
-    def __call__(self, global_sim, local_im, local_s, local_im_mask, local_s_lens, local_s_mask):
+    def __call__(self, global_sim, local_im, local_s, local_im_mask,
+                 local_s_lens, local_s_mask, valid=None):
         if not self.use_local:
-            g = self.global_loss(global_sim)
+            g = self.global_loss(global_sim, valid)
             return g, g, jnp.zeros((), dtype=global_sim.dtype)
         if not self.use_global:
-            l = self.local_loss(local_im, local_s, local_im_mask, local_s_lens, local_s_mask)
+            l = self.local_loss(local_im, local_s, local_im_mask,
+                                local_s_lens, local_s_mask, valid)
             return l, jnp.zeros((), dtype=l.dtype), l
-        g = self.global_loss(global_sim)
-        l = self.local_loss(local_im, local_s, local_im_mask, local_s_lens, local_s_mask)
+        g = self.global_loss(global_sim, valid)
+        l = self.local_loss(local_im, local_s, local_im_mask, local_s_lens,
+                            local_s_mask, valid)
         return g + l, g, l
 
 

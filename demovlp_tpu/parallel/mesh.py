@@ -78,7 +78,8 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def host_allgather(x):
     """Concatenate a host-local array across processes along axis 0 (the
     TPU-native version of the reference's 13 eval dist.all_gather sites,
-    trainer/trainer_dist.py:252-321). No-op on a single host."""
+    trainer/trainer_dist.py:252-321). No-op on a single host. Requires
+    equal shapes on every process — see host_allgather_ragged otherwise."""
     x = np.asarray(x)
     if jax.process_count() == 1:
         return x
@@ -86,3 +87,28 @@ def host_allgather(x):
 
     stacked = multihost_utils.process_allgather(x)
     return np.asarray(stacked).reshape(-1, *x.shape[1:])
+
+
+def host_allgather_ragged(x, allgather=None):
+    """Concatenate host-local arrays of UNEQUAL leading-axis lengths across
+    processes, in process order. Eval loaders hand each host
+    ceil/floor(n / process_count) samples (data/loader.py), so the per-host
+    row counts differ by one around the split remainder; process_allgather
+    needs equal shapes, so gather the counts first, pad every shard to the
+    max, gather, and strip the pads. `allgather` is injectable for
+    simulated multi-process tests."""
+    if allgather is None:
+        if jax.process_count() == 1:
+            return np.asarray(x)
+        allgather = host_allgather
+    x = np.asarray(x)
+    counts = allgather(np.asarray([x.shape[0]], np.int64))
+    cap = int(np.max(counts))
+    if x.shape[0] < cap:
+        pad = np.zeros((cap - x.shape[0], *x.shape[1:]), x.dtype)
+        x = np.concatenate([x, pad], axis=0)
+    gathered = allgather(x)
+    parts = [
+        gathered[p * cap : p * cap + int(c)] for p, c in enumerate(counts)
+    ]
+    return np.concatenate(parts, axis=0)

@@ -116,11 +116,17 @@ class MCTrainer(BaseTrainer):
                 # batch_size 1: one video, n_options texts
                 arrays = prepare_batch(data, self.tokenizer)
                 arrays.pop("label", None)
+                # multi-host wrap-pad duplicate (data/loader.py): still run
+                # the (collective) eval step for host symmetry, but don't
+                # record the prediction
+                sample_valid = arrays.pop("sample_valid", None)
+                is_pad = sample_valid is not None and not bool(sample_valid[0])
                 n_opt = arrays["input_ids"].shape[0]
                 arrays["object"] = np.repeat(data["object"], n_opt, axis=0)
                 arrays["object_mask"] = np.repeat(data["object_mask"], n_opt, axis=0)
                 scores = np.asarray(self._eval_step(params, arrays))
-                preds[data["mc_id"][0]] = int(scores.argmax())
+                if not is_pad:
+                    preds[data["mc_id"][0]] = int(scores.argmax())
             # id2answer's insertion order = dataset metadata order, identical
             # on every host (and defined by all MC datasets incl. synthetic)
             preds = merge_mc_predictions(

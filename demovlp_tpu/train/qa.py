@@ -133,19 +133,27 @@ class QATrainer(BaseTrainer):
             for data in dl:
                 arrays = prepare_batch(data, self.tokenizer)
                 arrays.pop("label", None)
+                # multi-host wrap-pad flags + tail-batch shape padding ->
+                # one keep mask (see train/retrieval.py)
+                sample_valid = arrays.pop("sample_valid", None)
                 arrays, n_valid = pad_batch(arrays, dl.batch_size)
+                keep = np.arange(dl.batch_size) < n_valid
+                if sample_valid is not None:
+                    keep[:n_valid] &= sample_valid.astype(bool)
                 arrays = shard_batch(arrays, self.mesh)
-                logits = np.asarray(self._eval_step(params, arrays))[:n_valid]
+                logits = np.asarray(self._eval_step(params, arrays))[keep]
                 preds = logits.argmax(axis=-1)
                 if jax.process_count() > 1:
-                    from demovlp_tpu.parallel.mesh import host_allgather
+                    from demovlp_tpu.parallel.mesh import host_allgather_ragged
 
-                    preds = host_allgather(preds)
-                    qids = host_allgather(
-                        np.asarray(data["question_id"][:n_valid])
+                    preds = host_allgather_ragged(preds)
+                    qids = host_allgather_ragged(
+                        np.asarray(data["question_id"])[keep[: len(data["question_id"])]]
                     )
                 else:
-                    qids = data["question_id"][:n_valid]
+                    qids = np.asarray(data["question_id"])[
+                        keep[: len(data["question_id"])]
+                    ]
                 for qid, pred in zip(qids, preds):
                     results.append(
                         dict(

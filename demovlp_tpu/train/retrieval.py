@@ -24,7 +24,7 @@ import numpy as np
 
 from demovlp_tpu.parallel.tp import state_shardings_or_none
 from demovlp_tpu.utils.prng import fast_prng_key
-from demovlp_tpu.parallel.mesh import host_allgather, shard_batch
+from demovlp_tpu.parallel.mesh import host_allgather_ragged, shard_batch
 from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
 from demovlp_tpu.ops.similarity import sim_matrix
 from demovlp_tpu.train.base_trainer import BaseTrainer
@@ -194,30 +194,44 @@ class RetrievalTrainer(BaseTrainer):
             total_val_loss = 0.0
             n_batches = 0
             for data in dl:
-                metas.extend(data["meta"])
                 arrays = prepare_batch(data, self.tokenizer)
                 arrays.pop("label", None)
+                # multi-host wrap-pad flags from the loader (data/loader.py
+                # _host_indices) + shape padding of the shared tail batch:
+                # both become one 0/1 "valid" row mask, excluded from the
+                # loss in-jit and dropped from the gathered embeddings
+                sample_valid = arrays.pop("sample_valid", None)
                 arrays, n_valid = pad_batch(arrays, dl.batch_size)
+                valid = (np.arange(dl.batch_size) < n_valid).astype(np.float32)
+                if sample_valid is not None:
+                    valid[:n_valid] *= sample_valid
+                arrays["valid"] = valid
+                keep = valid.astype(bool)
+                metas.extend(
+                    m for m, k in zip(data["meta"], keep[: len(data["meta"])]) if k
+                )
                 arrays = shard_batch(arrays, self.mesh)
                 out, (loss, g, l) = self._eval_step(params, arrays)
                 total_val_loss += float(loss)
                 n_batches += 1
-                arrs["g_t"].append(np.asarray(out["global_text_embeddings"])[:n_valid])
+                arrs["g_t"].append(np.asarray(out["global_text_embeddings"])[keep])
                 arrs["g_o"].append(
-                    np.asarray(out["global_object_embeddings"])[:n_valid]
+                    np.asarray(out["global_object_embeddings"])[keep]
                 )
-                arrs["l_t"].append(np.asarray(out["local_text_embeddings"])[:n_valid])
+                arrs["l_t"].append(np.asarray(out["local_text_embeddings"])[keep])
                 arrs["l_o"].append(
-                    np.asarray(out["local_object_embeddings"])[:n_valid]
+                    np.asarray(out["local_object_embeddings"])[keep]
                 )
-                arrs["o_mask"].append(np.asarray(out["object_mask"])[:n_valid])
-                arrs["t_mask"].append(np.asarray(out["text_mask_add"])[:n_valid])
-                arrs["t_len"].append(np.asarray(out["text_length"])[:n_valid])
+                arrs["o_mask"].append(np.asarray(out["object_mask"])[keep])
+                arrs["t_mask"].append(np.asarray(out["text_mask_add"])[keep])
+                arrs["t_len"].append(np.asarray(out["text_length"])[keep])
 
             cat = {k: np.concatenate(v, axis=0) for k, v in arrs.items()}
-            # multi-host: each host embedded its loader shard; gather the
-            # full set so metrics cover the whole val split
-            cat = {k: host_allgather(v) for k, v in cat.items()}
+            # multi-host: each host embedded its contiguous loader shard;
+            # the ragged gather (per-host counts differ around the split
+            # remainder) restores the exact dataset order and covers the
+            # whole val split — no sample is dropped at any process count
+            cat = {k: host_allgather_ragged(v) for k, v in cat.items()}
             if str(self.config["name"]).startswith("MSCOCO"):
                 for key in ("g_o", "l_o", "o_mask"):
                     cat[key] = cat[key][::5]

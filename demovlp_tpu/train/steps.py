@@ -39,6 +39,8 @@ def prepare_batch(batch: Dict[str, Any], tokenizer, max_text_len: int = 100):
     }
     if "label" in batch:
         arrays["label"] = batch["label"]
+    if "sample_valid" in batch:
+        arrays["sample_valid"] = batch["sample_valid"]
     return arrays
 
 
@@ -57,9 +59,11 @@ def pad_batch(arrays: Dict[str, np.ndarray], target: int) -> Tuple[Dict, int]:
 
 
 # ------------------------------------------------------------- device side
-def _retrieval_losses(loss_obj, outputs, batch):
+def _retrieval_losses(loss_obj, outputs, batch, valid=None):
     # towers may run in bfloat16; the contrastive losses (log-softmax,
-    # l2 norms) are computed in fp32 for stability
+    # l2 norms) are computed in fp32 for stability.
+    # valid: optional (B,) 0/1 sample mask — eval excludes padded/duplicate
+    # rows from the loss (equals the loss over the valid rows alone)
     f32 = lambda x: x.astype(jnp.float32)
     global_sim = sim_matrix(
         f32(outputs["global_text_embeddings"]),
@@ -74,6 +78,7 @@ def _retrieval_losses(loss_obj, outputs, batch):
         outputs["object_mask"],
         text_len,
         text_mask,
+        valid=valid,
     )
 
 
@@ -133,11 +138,15 @@ def make_retrieval_train_step(
 
 def make_retrieval_eval_step(model, loss_obj, mesh) -> Callable:
     """Forward + per-batch loss; returns the embedding dict (+losses) with
-    everything needed for metric assembly on host."""
+    everything needed for metric assembly on host. An optional batch["valid"]
+    (B,) 0/1 mask excludes pad/duplicate rows from the loss (the reference
+    never sees ragged eval batches — its DistributedSampler drops them)."""
 
     def step(params, batch):
+        batch = dict(batch)
+        valid = batch.pop("valid", None)
         out = model.apply(params, batch, deterministic=True)
-        total, g, l = _retrieval_losses(loss_obj, out, batch)
+        total, g, l = _retrieval_losses(loss_obj, out, batch, valid)
         out = dict(out)
         out.pop("mlm_logits", None)  # eval doesn't score MLM; let XLA DCE it
         out["text_mask_add"] = additive_mask(batch["attention_mask"][:, 1:])
