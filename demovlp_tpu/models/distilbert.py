@@ -40,7 +40,8 @@ class _LayerNorm(nn.Module):
         orig = x.dtype
         y = nn.LayerNorm(
             epsilon=self.epsilon, dtype=self.dtype, param_dtype=jnp.float32,
-            force_float32_reductions=(self.dtype == jnp.float32),
+            # canonicalized so string dtypes behave like jnp dtype objects
+            force_float32_reductions=(jnp.dtype(self.dtype) == jnp.float32),
         )(x.astype(self.dtype))
         return y.astype(orig)
 

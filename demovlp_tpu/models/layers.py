@@ -25,7 +25,10 @@ class LayerNormFp32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        f32_stats = self.dtype == jnp.float32
+        # canonicalize: a string dtype (the config convention elsewhere)
+        # must behave identically to the jnp dtype object — comparing the
+        # raw attribute would silently drop f32 reductions for "float32"
+        f32_stats = jnp.dtype(self.dtype) == jnp.float32
         y = nn.LayerNorm(
             epsilon=self.epsilon, dtype=self.dtype, param_dtype=jnp.float32,
             force_float32_reductions=f32_stats,

@@ -127,6 +127,19 @@ class VarAttention(nn.Module):
         mg = jnp.concatenate([cls_m, m_g], axis=2)  # (B,G,1+L)
 
         if self.attn_impl == "pallas":
+            if jax.default_backend() == "tpu":
+                # compiled Mosaic lowering of the batched-dot kernel fails at
+                # the flagship f=1/k=30 shape on real v5e ("limits[i] <=
+                # dim(i)"); XLA is near-peak at these tiny grouped shapes
+                # anyway (BENCH_NOTES round 2). Fail at trace time with a
+                # clear message instead of crashing the chip; the kernel
+                # stays exercised by the CPU/interpret tests.
+                raise ValueError(
+                    "attn_impl='pallas' is an interpret-mode prototype and is "
+                    "not supported on compiled TPU (known Mosaic batched-dot "
+                    "lowering failure at f=1/k=30; measured no win over XLA "
+                    "at these shapes). Use attn_impl='xla'."
+                )
             from demovlp_tpu.ops.pallas_attention import grouped_attention_fused
 
             gt = B * h * G

@@ -89,7 +89,8 @@ def _dotT(a, b):
 
 # ===================================================================== fwd
 def _fa_sim_kernel(
-    ctx_ref, qry_ref, cmask_ref, out_ref, *, lam, focal_equal, ls_real, lq_real
+    ctx_ref, qry_ref, cmask_ref, out_ref, *, lam, focal_equal, ls_real,
+    lq_real, mxu_bf16=False,
 ):
     """One (BC, BQ) tile of sim[c, q] = mean_l cos(q_l, wctx_{c,q,l}).
 
@@ -118,23 +119,33 @@ def _fa_sim_kernel(
         def _init():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-    q = qry_ref[...]
+    # bf16 MXU mode: every matmul takes bf16 operands with an f32
+    # accumulator (the MXU's native fast path — f32 inputs run at a
+    # fraction of the bf16 rate); all VPU elementwise/softmax/renorm work
+    # stays f32, so this is strictly MORE precise than the XLA
+    # local_dtype=bfloat16 pipeline it competes with (which runs the whole
+    # O(B^2) pipeline in bf16).
+    mxu = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    q = qry_ref[...].astype(jnp.float32)
     qn_flat = _normalize_rows(q).reshape(n, d)
     qf = q.reshape(n, d)
     q_norm = jnp.sqrt(jnp.sum(qf * qf, -1))  # (n,)
+    qn_mx = qn_flat.astype(mxu)
 
     # one big raw-attention matmul for the whole context block: the per-ci
     # (n, d) x (d, ls) products under-fill the MXU; (n, d) x (d, bc*ls) is
     # bc-fold wider and per-ci views are aligned lane slices
-    cn_all = _normalize_rows(ctx_ref[...])  # (bc, ls, d)
+    cn_all = _normalize_rows(ctx_ref[...].astype(jnp.float32))  # (bc, ls, d)
+    cn_mx_all = cn_all.astype(mxu)
     a_all = jnp.dot(
-        qn_flat, cn_all.reshape(bc * ls, d).T, preferred_element_type=jnp.float32
+        qn_mx, cn_mx_all.reshape(bc * ls, d).T,
+        preferred_element_type=jnp.float32,
     )  # (n, bc*ls)
 
     rows = []
     for ci in range(bc):  # static unroll over the context block
         cmask = cmask_ref[ci, 0, :]  # (ls,)
-        cn = cn_all[ci]
+        cn_mx = cn_mx_all[ci]
 
         a = a_all[:, ci * ls : (ci + 1) * ls]
         a = jnp.where(a >= 0, a, 0.1 * a)
@@ -152,7 +163,7 @@ def _fa_sim_kernel(
             s_pos = s > 0
             p = jnp.where(s_pos, p / jnp.where(s_pos, s, 1.0), 0.0)
         # weighted context (n, d) then cosine with the raw query
-        w = jnp.dot(p, cn, preferred_element_type=jnp.float32)
+        w = jnp.dot(p.astype(mxu), cn_mx, preferred_element_type=jnp.float32)
         num = jnp.sum(w * qf, -1)
         den = jnp.sqrt(jnp.sum(w * w, -1)) * q_norm
         cos = num / jnp.maximum(den, _EPS)
@@ -177,7 +188,7 @@ def _fa_sim_kernel(
 def _fa_sim_pallas(
     context, query, ctx_mask, lam: float, focal_equal: bool,
     ls_real: int, lq_real: int, block_c: int, block_q: int,
-    interpret: bool = False,
+    interpret: bool = False, mxu_bf16: bool = False,
 ):
     """sim (Bc, Bq) with padded inputs; Bc % block_c == 0,
     Bq % out_q(block_q) == 0 (see _out_q)."""
@@ -193,6 +204,7 @@ def _fa_sim_pallas(
         focal_equal=focal_equal,
         ls_real=ls_real,
         lq_real=lq_real,
+        mxu_bf16=mxu_bf16,
     )
     # output is a (grid_i, grid_jo, block_c, out_q) tile array: the block
     # spans the trailing dims (Mosaic rule) and out_q is 128-lane aligned,
@@ -238,7 +250,7 @@ def _fa_sim_pallas(
 # ===================================================================== bwd
 def _fa_bwd_tile(
     cn, cmask, a0, qn_flat, qf, q_norm, g_col, *, lam, focal_equal, ls_real,
-    lq_real, bq, lq,
+    lq_real, bq, lq, mxu=jnp.float32,
 ):
     """Recompute one context item's forward in VMEM and return the backward
     chain products (dqf_total, dcn_total) for that item against the whole
@@ -273,7 +285,8 @@ def _fa_bwd_tile(
         ph = jnp.where(s_pos, pt / jnp.where(s_pos, s, 1.0), 0.0)
     else:
         ph = p
-    w = jnp.dot(ph, cn, preferred_element_type=jnp.float32)  # (n, d)
+    cn_mx = cn.astype(mxu)
+    w = jnp.dot(ph.astype(mxu), cn_mx, preferred_element_type=jnp.float32)  # (n, d)
     num = jnp.sum(w * qf, -1, keepdims=True)  # (n, 1)
     wn = jnp.sqrt(jnp.sum(w * w, -1, keepdims=True))
     den_raw = wn * q_norm
@@ -299,7 +312,9 @@ def _fa_bwd_tile(
     ) * qf
 
     # w = ph @ cn
-    dph = jnp.dot(dw, cn.T, preferred_element_type=jnp.float32)  # (n, ls)
+    dph = jnp.dot(
+        dw.astype(mxu), cn_mx.T, preferred_element_type=jnp.float32
+    )  # (n, ls)
 
     if focal_equal:
         # ph = pt / sum(pt); h is a non-differentiable indicator
@@ -325,11 +340,11 @@ def _fa_bwd_tile(
     da1 = da1_3.reshape(n, ls)
     da0 = jnp.where(a0 >= 0, da1, 0.1 * da1)
     # a0 = qn @ cnᵀ
-    dqn = jnp.dot(da0, cn, preferred_element_type=jnp.float32)  # (n, d)
+    dqn = jnp.dot(da0.astype(mxu), cn_mx, preferred_element_type=jnp.float32)  # (n, d)
     # dcn = phᵀ·dw + da0ᵀ·qn, stacked along n into one MXU contraction
     dcn = _dotT(
-        jnp.concatenate([ph, da0], axis=0),
-        jnp.concatenate([dw, qn_flat], axis=0),
+        jnp.concatenate([ph, da0], axis=0).astype(mxu),
+        jnp.concatenate([dw, qn_flat], axis=0).astype(mxu),
     )  # (ls, d)
 
     # qn = qf / (|qf| + eps)
@@ -357,26 +372,27 @@ def _cn_to_c_grad(dcn, c):
 
 def _fa_bwd_dq_kernel(
     ctx_ref, qry_ref, cmask_ref, g_ref, dq_ref, *, lam, focal_equal,
-    ls_real, lq_real,
+    ls_real, lq_real, mxu_bf16=False,
 ):
     """d_query tile, accumulated over context blocks (grid = (jq, ic), ic
     innermost so the output block stays resident)."""
     bc, ls, d = ctx_ref.shape
     bq, lq, _ = qry_ref.shape
+    mxu = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         dq_ref[...] = jnp.zeros_like(dq_ref)
 
-    q = qry_ref[...]
+    q = qry_ref[...].astype(jnp.float32)
     q_norm_k = jnp.sqrt(jnp.sum(q * q, -1, keepdims=True))
     qn_flat = (q / (q_norm_k + _EPS)).reshape(bq * lq, d)
     qf = q.reshape(bq * lq, d)
     q_norm = q_norm_k.reshape(bq * lq, 1)  # (n, 1) column (Mosaic layout)
 
-    cn_all = _normalize_rows(ctx_ref[...])  # (bc, ls, d)
+    cn_all = _normalize_rows(ctx_ref[...].astype(jnp.float32))  # (bc, ls, d)
     a_all = jnp.dot(
-        qn_flat, cn_all.reshape(bc * ls, d).T,
+        qn_flat.astype(mxu), cn_all.reshape(bc * ls, d).T.astype(mxu),
         preferred_element_type=jnp.float32,
     )  # (n, bc*ls): one batched raw-attention matmul per tile
 
@@ -388,7 +404,7 @@ def _fa_bwd_dq_kernel(
             a_all[:, ci * ls : (ci + 1) * ls],
             qn_flat, qf, q_norm, gt[:, ci : ci + 1],
             lam=lam, focal_equal=focal_equal, ls_real=ls_real,
-            lq_real=lq_real, bq=bq, lq=lq,
+            lq_real=lq_real, bq=bq, lq=lq, mxu=mxu,
         )
         acc = acc + dqf
     dq_ref[...] += acc.reshape(bq, lq, d)
@@ -396,26 +412,28 @@ def _fa_bwd_dq_kernel(
 
 def _fa_bwd_dc_kernel(
     ctx_ref, qry_ref, cmask_ref, g_ref, dc_ref, *, lam, focal_equal,
-    ls_real, lq_real,
+    ls_real, lq_real, mxu_bf16=False,
 ):
     """d_context tile, accumulated over query blocks (grid = (ic, jq), jq
     innermost)."""
     bc, ls, d = ctx_ref.shape
     bq, lq, _ = qry_ref.shape
+    mxu = jnp.bfloat16 if mxu_bf16 else jnp.float32
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
         dc_ref[...] = jnp.zeros_like(dc_ref)
 
-    q = qry_ref[...]
+    q = qry_ref[...].astype(jnp.float32)
     q_norm_k = jnp.sqrt(jnp.sum(q * q, -1, keepdims=True))
     qn_flat = (q / (q_norm_k + _EPS)).reshape(bq * lq, d)
     qf = q.reshape(bq * lq, d)
     q_norm = q_norm_k.reshape(bq * lq, 1)  # (n, 1) column (Mosaic layout)
 
-    cn_all = _normalize_rows(ctx_ref[...])  # (bc, ls, d)
+    ctx_f32 = ctx_ref[...].astype(jnp.float32)
+    cn_all = _normalize_rows(ctx_f32)  # (bc, ls, d)
     a_all = jnp.dot(
-        qn_flat, cn_all.reshape(bc * ls, d).T,
+        qn_flat.astype(mxu), cn_all.reshape(bc * ls, d).T.astype(mxu),
         preferred_element_type=jnp.float32,
     )  # (n, bc*ls)
 
@@ -426,14 +444,15 @@ def _fa_bwd_dc_kernel(
             a_all[:, ci * ls : (ci + 1) * ls],
             qn_flat, qf, q_norm, gt[:, ci : ci + 1],
             lam=lam, focal_equal=focal_equal, ls_real=ls_real,
-            lq_real=lq_real, bq=bq, lq=lq,
+            lq_real=lq_real, bq=bq, lq=lq, mxu=mxu,
         )
-        dc_ref[ci] += _cn_to_c_grad(dcn, ctx_ref[ci])
+        dc_ref[ci] += _cn_to_c_grad(dcn, ctx_f32[ci])
 
 
 def _fa_bwd_pallas(
     context, query, ctx_mask, g, lam, focal_equal, ls_real, lq_real,
     block_c: int, block_q: int, interpret: bool = False,
+    mxu_bf16: bool = False,
 ):
     """(d_context, d_query) on padded inputs via the two accumulation kernels."""
     bc_total, ls, d = context.shape
@@ -446,7 +465,8 @@ def _fa_bwd_pallas(
     # (block_q, 1) cotangent column without moving the lane axis
     g4 = g.reshape(n_cb, block_c, n_qb, block_q).transpose(0, 2, 3, 1)
     common = dict(
-        lam=lam, focal_equal=focal_equal, ls_real=ls_real, lq_real=lq_real
+        lam=lam, focal_equal=focal_equal, ls_real=ls_real, lq_real=lq_real,
+        mxu_bf16=mxu_bf16,
     )
     bwd_cost = pl.CostEstimate(
         flops=6 * bc_total * bq_total * ls * lq * d * 2,
@@ -500,14 +520,14 @@ def _fa_bwd_pallas(
 
 
 # ============================================================ padded op + vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _padded_direction_sim(
     context, query, ctx_mask, lam, focal_equal, ls_real, lq_real,
-    block_c, block_q, interpret,
+    block_c, block_q, interpret, mxu_bf16,
 ):
     return _fa_sim_pallas(
         context, query, ctx_mask, lam, focal_equal, ls_real, lq_real,
-        block_c, block_q, interpret=interpret,
+        block_c, block_q, interpret=interpret, mxu_bf16=mxu_bf16,
     )
 
 
@@ -517,13 +537,18 @@ def _pds_fwd(context, query, ctx_mask, *static):
 
 
 def _pds_bwd(lam, focal_equal, ls_real, lq_real, block_c, block_q, interpret,
-             residuals, g):
+             mxu_bf16, residuals, g):
     context, query, ctx_mask = residuals
     dc, dq = _fa_bwd_pallas(
         context, query, ctx_mask, g, lam, focal_equal, ls_real, lq_real,
-        block_c, block_q, interpret=interpret,
+        block_c, block_q, interpret=interpret, mxu_bf16=mxu_bf16,
     )
-    return dc, dq, jnp.zeros_like(ctx_mask)
+    # cotangents must match the primal dtypes (bf16 inputs in MXU-bf16 mode)
+    return (
+        dc.astype(context.dtype),
+        dq.astype(query.dtype),
+        jnp.zeros_like(ctx_mask),
+    )
 
 
 _padded_direction_sim.defvjp(_pds_fwd, _pds_bwd)
@@ -548,7 +573,8 @@ def _choose_blocks(
 
 
 def _direction_sim(
-    context, query, ctx_mask, lam, focal_equal, interpret=False
+    context, query, ctx_mask, lam, focal_equal, interpret=False,
+    mxu_bf16=False,
 ):
     """Padded + blocked wrapper around the kernels: sim (n_ctx, n_query),
     differentiable w.r.t. context and query."""
@@ -572,44 +598,62 @@ def _direction_sim(
         # block_q always divides 128, so this stays a block_q multiple
         n_q_pad = _round_up(n_q_pad, 128)
 
-    ctx = _pad_axis(_pad_axis(context.astype(jnp.float32), 1, ls), 0, n_c_pad)
-    qry = _pad_axis(_pad_axis(query.astype(jnp.float32), 1, lq), 0, n_q_pad)
+    # MXU-bf16 mode ships the embedding tiles as bf16 too (halves the
+    # HBM->VMEM input streams); all VPU math upcasts to f32 in-kernel
+    io_dtype = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    ctx = _pad_axis(_pad_axis(context.astype(io_dtype), 1, ls), 0, n_c_pad)
+    qry = _pad_axis(_pad_axis(query.astype(io_dtype), 1, lq), 0, n_q_pad)
     cm = _pad_axis(
         _pad_axis(ctx_mask.astype(jnp.float32), 1, ls, value=-100.0), 0, n_c_pad
     )
     sim = _padded_direction_sim(
         ctx, qry, cm, lam, focal_equal, ls_real, lq_real,
-        block_c, block_q, interpret,
+        block_c, block_q, interpret, mxu_bf16,
     )
     return sim[:n_c, :n_q]
 
 
 def _xattn_score_pallas_impl(
-    images, captions, img_mask, cap_mask, lam, focal_equal, interpret=False
+    images, captions, img_mask, cap_mask, lam, focal_equal, interpret=False,
+    mxu_bf16=False,
 ):
-    i2t = _direction_sim(images, captions, img_mask, lam, focal_equal, interpret)
-    t2i = _direction_sim(captions, images, cap_mask, lam, focal_equal, interpret)
+    i2t = _direction_sim(
+        images, captions, img_mask, lam, focal_equal, interpret, mxu_bf16
+    )
+    t2i = _direction_sim(
+        captions, images, cap_mask, lam, focal_equal, interpret, mxu_bf16
+    )
     return t2i.T + i2t
 
 
 def xattn_score_pallas(
     images, captions, img_mask, cap_mask,
     lambda_softmax: float = 20.0, focal_type: str = "prob",
+    compute_dtype=None,
 ):
     """Drop-in replacement for ops.xattn._xattn_score_xla (same semantics,
-    fused Pallas forward and analytic fused Pallas backward)."""
+    fused Pallas forward and analytic fused Pallas backward).
+
+    compute_dtype=bfloat16 selects MXU-native bf16 matmul operands with f32
+    accumulators and bf16 input tiles; every VPU stage (l2norms, softmax,
+    focal renorm, cosine) stays f32 — more precise than the XLA
+    local_dtype=bfloat16 pipeline, which runs everything in bf16."""
+    mxu_bf16 = compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16
     return _xattn_score_pallas_impl(
         images, captions, img_mask, cap_mask,
-        float(lambda_softmax), focal_type == "equal",
+        float(lambda_softmax), focal_type == "equal", mxu_bf16=mxu_bf16,
     )
 
 
 def xattn_score_pallas_interpret(
     images, captions, img_mask, cap_mask,
     lambda_softmax: float = 20.0, focal_type: str = "prob",
+    compute_dtype=None,
 ):
     """Interpreter-mode variant for CPU tests (forward and backward)."""
+    mxu_bf16 = compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.bfloat16
     return _xattn_score_pallas_impl(
         images, captions, img_mask, cap_mask,
         float(lambda_softmax), focal_type == "equal", interpret=True,
+        mxu_bf16=mxu_bf16,
     )

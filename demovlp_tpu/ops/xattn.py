@@ -191,20 +191,13 @@ def xattn_score(
     if backend == "pallas":
         from demovlp_tpu.ops.pallas_xattn import xattn_score_pallas
 
-        if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
-            # the fused kernel never materializes the O(B^2) tensor, so the
-            # bf16 traffic-halving the knob buys on the XLA path does not
-            # apply; it computes f32 internally. Say so instead of silently
-            # dropping the request (trace-time warning, once per compile).
-            import warnings
-
-            warnings.warn(
-                "xattn_score: compute_dtype is ignored by the pallas backend "
-                "(kernel is f32-internal and already traffic-minimal)",
-                stacklevel=2,
-            )
+        # compute_dtype=bfloat16 -> MXU-native bf16 matmul operands + bf16
+        # input tiles with f32 accumulators and f32 VPU stages (see
+        # pallas_xattn.xattn_score_pallas) — the kernel's analog of the XLA
+        # path's bf16 pipeline, and strictly more precise than it
         return xattn_score_pallas(
-            images, captions, img_mask, cap_mask, lambda_softmax, focal_type
+            images, captions, img_mask, cap_mask, lambda_softmax, focal_type,
+            compute_dtype,
         )
     return _xattn_score_xla(
         images, captions, img_mask, cap_mask, lambda_softmax, focal_type,

@@ -183,16 +183,34 @@ def sharded_local_sims(
 
     # captions to device ONCE, reused by every chunk
     rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(DATA_AXIS))
     lang_dev = jax.device_put(lang_feats, rep)
     lmask_dev = jax.device_put(lang_mask, rep)
 
-    out = np.empty((n_img, n_cap), dtype=np.float32)
-    for start in range(0, n_img, chunk):
+    starts = list(range(0, n_img, chunk))
+
+    def _stage(start: int):
+        """Pad chunk `start` on host and start its (async) device transfer."""
         stop = min(start + chunk, n_img)
         feats_p = _pad_to(img_feats[start:stop], total)
         # pad masks with -100 (all-padded row) so fake galleries are inert
         mask_p = np.full((total, img_mask.shape[1]), -100.0, dtype=np.float32)
         mask_p[: stop - start] = img_mask[start:stop]
-        sims = fn(feats_p, lang_dev, mask_p, lmask_dev)
+        return jax.device_put(feats_p, shd), jax.device_put(mask_p, shd)
+
+    # double-buffered pipeline: chunk i+1's host padding + H2D transfer
+    # overlap chunk i's kernel (device_put and the jit dispatch are async;
+    # only the result fetch blocks). Serial transfers cost the 10k-gallery
+    # eval 31% throughput vs the 4k point in round 2 (BENCH_NOTES.md); at
+    # most two bounded chunk buffers are in flight, so the >2 GiB
+    # transfer-crash ceiling stays respected.
+    out = np.empty((n_img, n_cap), dtype=np.float32)
+    staged = _stage(starts[0])
+    for i, start in enumerate(starts):
+        feats_dev, mask_dev = staged
+        sims = fn(feats_dev, lang_dev, mask_dev, lmask_dev)
+        if i + 1 < len(starts):
+            staged = _stage(starts[i + 1])
+        stop = min(start + chunk, n_img)
         out[start:stop] = np.asarray(sims)[: stop - start, :n_cap]
     return out

@@ -20,6 +20,15 @@ uniformly to `state.params` and to the optimizer's mu/nu mirrors):
 Everything else (embeddings, LayerNorms, heads, scalars) is replicated.
 A dimension that does not divide the 'model' axis size falls back to
 replicated — annotation never changes numerics, only layout.
+
+On the fused 'qkv' kernel: column-sharding its 3*D output axis ignores the
+q/k/v (and head) boundaries, which in principle could force GSPMD to
+reshard at the per-head reshape. Verified by HLO inspection of the
+compiled (4,2)-mesh train step (round 3): ZERO all-gathers are attributed
+to qkv/attention modules — GSPMD propagates the slice-of-sharded-axis
+through split + head reshape without collectives (the step's gathers all
+belong to the loss's global-batch assembly, which is inherent). The naive
+layout is therefore kept.
 """
 from __future__ import annotations
 

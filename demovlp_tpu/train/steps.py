@@ -82,6 +82,33 @@ def _retrieval_losses(loss_obj, outputs, batch, valid=None):
     )
 
 
+def _norm_free_path(path) -> bool:
+    """True when no path component belongs to a normalization layer."""
+    for k in path:
+        name = str(getattr(k, "key", getattr(k, "name", k)))
+        if "norm" in name.lower():
+            return False
+    return True
+
+
+def cast_tower_weights(params, dtype=jnp.bfloat16):
+    """Cast every non-normalization f32 weight to `dtype` (one fused pass).
+
+    With dtype=bf16 towers, flax Dense casts its f32 kernels to bf16 at
+    every use — each matmul re-reads the f32 master copy from HBM and pays
+    a convert. Casting the tree ONCE per step makes the bf16 copies
+    resident: the forward and backward matmuls read half the weight bytes
+    and the per-op converts disappear. Numerically identical to the
+    per-op casts (same bf16 rounding); LayerNorm scales/biases stay f32
+    because the norm layers compute in f32 (models/layers.py)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: x.astype(dtype)
+        if (x.dtype == jnp.float32 and _norm_free_path(p))
+        else x,
+        params,
+    )
+
+
 def mlm_loss_fn(logits, labels, ignore_index: int = -100):
     """Masked-LM CE averaged over the selected (label != ignore) positions."""
     logits = logits.astype(jnp.float32)
@@ -95,14 +122,19 @@ def mlm_loss_fn(logits, labels, ignore_index: int = -100):
 def make_retrieval_train_step(
     model, loss_obj, tx, mesh, mlm_weight: float = 0.0,
     deterministic: bool = False, state_sharding=None,
+    cast_weights: bool = False,
 ) -> Callable:
     """state_sharding: optional TrainState-shaped NamedSharding pytree (see
     parallel/tp.py) — tensor-parallel layouts over the 'model' axis. Default
-    None keeps params/opt_state replicated (pure data parallel)."""
+    None keeps params/opt_state replicated (pure data parallel).
+    cast_weights: one fused f32->bf16 cast of the non-norm weights per step
+    (see cast_tower_weights); numerics-identical for bf16-dtype models."""
     def step(state: TrainState, batch, lr, rng):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            if cast_weights:
+                params = cast_tower_weights(params)
             out = model.apply(
                 params, batch, deterministic=deterministic,
                 rngs={"dropout": rng},

@@ -109,3 +109,49 @@ def test_pallas_xattn_multi_jo_output_blocks():
     )
     assert got.shape == (ni, nc)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("focal", ["prob", "equal"])
+def test_pallas_xattn_bf16_mxu_mode(focal):
+    """compute_dtype=bfloat16: bf16 MXU operands/input tiles with f32
+    accumulators and f32 VPU stages. Forward must track the f32 XLA result
+    to bf16 rounding (~3e-3 at lambda=20 — ~15x tighter than the XLA
+    local_dtype=bfloat16 pipeline it replaces), and grads must be finite
+    and within bf16 tolerance."""
+    import jax
+
+    ni, nc, r, w = 8, 7, 10, 6
+    img, lang, imask, lmask = _inputs(ni, nc, r, w)
+    want = np.asarray(
+        _xattn_score_xla(
+            jnp.array(img), jnp.array(lang), jnp.array(imask), jnp.array(lmask),
+            20.0, focal,
+        )
+    )
+    got = np.asarray(
+        xattn_score_pallas_interpret(
+            jnp.array(img), jnp.array(lang), jnp.array(imask), jnp.array(lmask),
+            20.0, focal, compute_dtype=jnp.bfloat16,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
+
+    def loss_p(i, l):
+        return jnp.sum(
+            xattn_score_pallas_interpret(
+                i, l, imask, lmask, 20.0, focal, compute_dtype=jnp.bfloat16
+            ) ** 2
+        )
+
+    def loss_x(i, l):
+        return jnp.sum(
+            _xattn_score_xla(i, l, imask, lmask, 20.0, focal) ** 2
+        )
+
+    gp = jax.grad(loss_p, (0, 1))(jnp.array(img), jnp.array(lang))
+    gx = jax.grad(loss_x, (0, 1))(jnp.array(img), jnp.array(lang))
+    for a, b in zip(gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        scale = np.abs(b).max() + 1e-9
+        assert np.abs(a - b).max() / scale < 0.25  # bf16-rounded softmax
