@@ -131,11 +131,12 @@ def main() -> None:
         step = make_retrieval_train_step(
             model, loss, tx, mesh, deterministic=deterministic,
             # one fused f32->bf16 weight cast per step instead of per-op
-            # casts (halves weight HBM reads; numerics-identical for bf16
-            # towers). BENCH_CAST_WEIGHTS=0 ablates.
+            # casts. Measured a WASH on v5e at b=128 (1,465.7 on vs 1,468.9
+            # off — XLA already dedups the converts), so default off =
+            # the shipped trainer path; BENCH_CAST_WEIGHTS=1 re-ablates.
             cast_weights=(
                 dtype_name == "bfloat16"
-                and os.environ.get("BENCH_CAST_WEIGHTS", "1") == "1"
+                and os.environ.get("BENCH_CAST_WEIGHTS", "0") == "1"
             ),
         )
         # warmup (compile + 2 steps). NOTE: sync by FETCHING the loss scalar

@@ -60,19 +60,24 @@ class _SelfAttention(nn.Module):
         def proj(name):
             return nn.Dense(D, dtype=self.dtype, name=name)
 
+        # head-LAST layout (B, L, h, hd): the head split/merge are free
+        # reshapes and the head axis rides as an einsum batch dim, so no
+        # (B,L,h,hd)<->(B,h,L,hd) transposes ever materialize. Identical
+        # contractions/reduction order => bit-identical to the head-major
+        # form (pinned by the torch parity tests).
         def to_heads(t):
-            return t.reshape(B, L, h, hd).transpose(0, 2, 1, 3)
+            return t.reshape(B, L, h, hd)
 
         q = to_heads(proj("q_lin")(x)) / jnp.sqrt(hd).astype(self.dtype)
         k = to_heads(proj("k_lin")(x))
         v = to_heads(proj("v_lin")(x))
 
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         logits = logits + add_bias  # (B,1,1,L)
         probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(B, L, D)
         return proj("out_lin")(out)
 
 

@@ -38,15 +38,21 @@ from demovlp_tpu.ops.masking import additive_mask
 
 
 def _grouped_attention(q, k, v, bias):
-    """softmax(q k^T + bias) v over the last-but-one axis.
+    """softmax(q k^T + bias) v, head-LAST layout.
 
-    q: (..., Lq, hd), k/v: (..., Lk, hd), bias broadcastable to (..., Lq, Lk).
-    Computed in fp32 for softmax stability, cast back to q.dtype.
+    q: (..., Lq, h, hd), k/v: (..., Lk, h, hd), bias broadcastable to
+    (..., h, Lq, Lk). The head axis rides as an einsum batch dim so the
+    head split/merge around the attention are free reshapes (no
+    (.., L, h, hd) <-> (.., h, L, hd) transposes materialize). Computed in
+    fp32 for softmax stability, cast back to q.dtype. Identical
+    contractions/reduction order as the head-major form (oracle-pinned).
     """
-    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    logits = jnp.einsum(
+        "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
+    )
     logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("...qk,...kd->...qd", probs, v)
+    return jnp.einsum("...hqk,...khd->...qhd", probs, v)
 
 
 class VarAttention(nn.Module):
@@ -85,8 +91,9 @@ class VarAttention(nn.Module):
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
+        # head-LAST layout (B, N1, h, hd) — see _grouped_attention
         def to_heads(t):
-            return t.reshape(B, N1, h, hd).transpose(0, 2, 1, 3)  # (B,h,N1,hd)
+            return t.reshape(B, N1, h, hd)
 
         q, k, v = map(to_heads, (q, k, v))
         q = q * (hd ** -0.5)
@@ -95,35 +102,35 @@ class VarAttention(nn.Module):
 
         # --- CLS attends over the full sequence ---
         cls_out = _grouped_attention(
-            q[:, :, :1], k, v, mask[:, None, None, :]
-        )  # (B,h,1,hd)
+            q[:, :1], k, v, mask[:, None, None, :]
+        )  # (B,1,h,hd)
 
         # --- grouped attention for the non-CLS tokens ---
-        q_, k_, v_ = q[:, :, 1:], k[:, :, 1:], v[:, :, 1:]
+        q_, k_, v_ = q[:, 1:], k[:, 1:], v[:, 1:]
         m_ = mask[:, 1:].reshape(B, F, K)
 
         if mode == "space":
             # groups = frames, members = the K regions of the frame
             G, L = F, K
             def grp(t):
-                return t.reshape(B, h, F, K, hd)
+                return t.reshape(B, F, K, h, hd)
             m_g = m_
         else:
             # groups = region index, members = that region across F frames
             G, L = K, F
             def grp(t):
-                return t.reshape(B, h, F, K, hd).transpose(0, 1, 3, 2, 4)
+                return t.reshape(B, F, K, h, hd).transpose(0, 2, 1, 3, 4)
             m_g = m_.transpose(0, 2, 1)
 
-        qg, kg, vg = map(grp, (q_, k_, v_))  # (B,h,G,L,hd)
+        qg, kg, vg = map(grp, (q_, k_, v_))  # (B,G,L,h,hd)
 
         # CLS keys/values are visible to every group (reference :173-180)
-        cls_k = jnp.broadcast_to(k[:, :, :1][:, :, None], (B, h, G, 1, hd))
-        cls_v = jnp.broadcast_to(v[:, :, :1][:, :, None], (B, h, G, 1, hd))
+        cls_k = jnp.broadcast_to(k[:, :1][:, None], (B, G, 1, h, hd))
+        cls_v = jnp.broadcast_to(v[:, :1][:, None], (B, G, 1, h, hd))
         cls_m = jnp.broadcast_to(mask[:, :1][:, :, None], (B, G, 1))
 
-        kg = jnp.concatenate([cls_k, kg], axis=3)  # (B,h,G,1+L,hd)
-        vg = jnp.concatenate([cls_v, vg], axis=3)
+        kg = jnp.concatenate([cls_k, kg], axis=2)  # (B,G,1+L,h,hd)
+        vg = jnp.concatenate([cls_v, vg], axis=2)
         mg = jnp.concatenate([cls_m, m_g], axis=2)  # (B,G,1+L)
 
         if self.attn_impl == "pallas":
@@ -142,24 +149,25 @@ class VarAttention(nn.Module):
                 )
             from demovlp_tpu.ops.pallas_attention import grouped_attention_fused
 
+            # the prototype kernel wants head-major (gt, L, hd) tiles
             gt = B * h * G
             bias = jnp.broadcast_to(mg[:, None, :, :], (B, h, G, 1 + L))
             out = grouped_attention_fused(
-                qg.reshape(gt, L, hd),
-                kg.reshape(gt, 1 + L, hd),
-                vg.reshape(gt, 1 + L, hd),
+                qg.transpose(0, 3, 1, 2, 4).reshape(gt, L, hd),
+                kg.transpose(0, 3, 1, 2, 4).reshape(gt, 1 + L, hd),
+                vg.transpose(0, 3, 1, 2, 4).reshape(gt, 1 + L, hd),
                 bias.reshape(gt, 1 + L),
-            ).reshape(B, h, G, L, hd)
+            ).reshape(B, h, G, L, hd).transpose(0, 2, 3, 1, 4)  # (B,G,L,h,hd)
         else:
             out = _grouped_attention(
-                qg, kg, vg, mg[:, None, :, None, :]
-            )  # (B,h,G,L,hd)
+                qg, kg, vg, mg[:, :, None, None, :]
+            )  # (B,G,L,h,hd)
 
         if mode == "time":
-            out = out.transpose(0, 1, 3, 2, 4)  # (B,h,F,K,hd)
-        out = out.reshape(B, h, F * K, hd)
-        out = jnp.concatenate([cls_out, out], axis=2)  # (B,h,N1,hd)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N1, D)
+            out = out.transpose(0, 2, 1, 3, 4)  # (B,F,K,h,hd)
+        out = out.reshape(B, F * K, h, hd)
+        out = jnp.concatenate([cls_out, out], axis=1)  # (B,N1,h,hd)
+        out = out.reshape(B, N1, D)
 
         return nn.Dense(
             D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"

@@ -164,8 +164,9 @@ def test_loader_host_sharding_partitions_indices():
             ds, batch_size=5, shuffle=False, num_workers=1,
             process_index=rank, process_count=4,
         )
-        idx = loader._host_indices()
+        idx, valid = loader._host_indices()
         assert len(idx) == 10
+        assert valid is None  # 40 divides evenly over 4 hosts: no padding
         seen.append(idx)
     allidx = np.concatenate(seen)
     assert len(np.unique(allidx)) == 40  # disjoint cover
@@ -183,12 +184,12 @@ def test_loader_epoch_reshuffle():
         process_index=0, process_count=1,
     )
     loader.set_epoch(0)
-    a = loader._host_indices()
+    a, _ = loader._host_indices()
     loader.set_epoch(1)
-    b = loader._host_indices()
+    b, _ = loader._host_indices()
     assert not np.array_equal(a, b)
     loader.set_epoch(0)
-    np.testing.assert_array_equal(a, loader._host_indices())
+    np.testing.assert_array_equal(a, loader._host_indices()[0])
 
 
 def test_bad_sample_resample(tmp_path):

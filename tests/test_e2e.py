@@ -211,11 +211,12 @@ def test_global_negatives_match_single_device(mesh):
 
     # updated params agree too (grad reduction == full-batch grad). Adam's
     # first-step update is sign(g)*lr-ish, so tiny cross-device reduction-
-    # order noise shows up at ~1e-4 of the 1e-3 update; tolerate that.
+    # order noise shows up at ~1e-4 of the 1e-3 update; tolerate that
+    # (a real grad bug flips whole updates, i.e. ~2e-3 differences).
     p_a = jax.tree_util.tree_leaves(new_state.params)
     p_b = jax.tree_util.tree_leaves(new_state1.params)
     for a, c in zip(p_a, p_b):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=0.05, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=0.05, atol=3e-4)
 
 
 def test_sharded_local_sims_matches_dense(mesh):
