@@ -100,6 +100,26 @@ class VarAttention(nn.Module):
 
         mask = add_mask.astype(jnp.float32)  # (B, N1) additive
 
+        # --- single-group fast path (the flagship pre-train shape) ---
+        # With one group (space mode at F=1, or time mode at K=1) the grouped
+        # computation degenerates to plain full self-attention over the
+        # sequence: every group row sees keys [CLS] + all members in sequence
+        # order with the same additive mask, and the CLS row is the same
+        # full-sequence attention — identical logits/softmax, so identical
+        # outputs. Skipping the split/concat/broadcast machinery removes
+        # ~7 ms/step of head-tensor layout copies at b=128/f=1/k=30
+        # (xplane round 3).
+        single_group = (mode == "space" and F == 1) or (
+            mode == "time" and K == 1
+        )
+        if single_group and self.attn_impl != "pallas":
+            out = _grouped_attention(
+                q, k, v, mask[:, None, None, :]
+            )  # (B,N1,h,hd)
+            return nn.Dense(
+                D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"
+            )(out.reshape(B, N1, D))
+
         # --- CLS attends over the full sequence ---
         cls_out = _grouped_attention(
             q[:, :1], k, v, mask[:, None, None, :]

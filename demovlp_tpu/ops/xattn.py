@@ -58,40 +58,29 @@ def focal_equal(attn):
     return (func_f > 0).astype(attn.dtype)
 
 
-def func_attention(
-    query,
-    context,
+def _re_attention(
+    query_n,
+    context_n,
     query_mask,
     context_mask,
-    lambda_softmax: float = 20.0,
-    focal_type: str = "prob",
+    lambda_softmax: float,
+    focal_type: str,
 ):
-    """All-pairs cross attention: for every (context item c, query item q),
-    attend each query position over the context positions and return the
-    attention-weighted (l2-normalized) context.
+    """Shared core of func_attention / the Gram-form score: the focal
+    re-attention distribution over context positions.
 
-    Runs in the dtype of `query`/`context` (masks are cast to match): the
-    O(B^2 * Lq * Ls) intermediates dominate HBM traffic, so bfloat16 inputs
-    halve the loss's memory cost (see `xattn_score(compute_dtype=...)`).
-
-    Args:
-      query: (Bq, Lq, D)
-      context: (Bc, Ls, D)
-      query_mask: additive (Bq, Lq)   [no-op; kept for parity]
-      context_mask: additive (Bc, Ls)
-    Returns:
-      weighted context (Bc, Bq, Lq, D)
+    Args are the ALREADY l2-normalized (Bq, Lq, D) query / (Bc, Ls, D)
+    context. Returns (re_attn, attn0), both (Bc, Bq, Lq, Ls); attn0 is the
+    raw normalized-embedding dot product (= cosine), which the Gram-form
+    caller reuses for the similarity numerator.
     """
-    query = l2norm(query, axis=-1)
-    context = l2norm(context, axis=-1)
-
     # (Bc, Bq, Lq, Ls) raw attention logits — emitted directly in the layout
     # the softmax needs. (The reference computes (...,Ls,Lq) and transposes,
     # loss.py:230-240; on TPU that materialized an explicit O(B^2 L^2) copy
     # — ~10% of the train step in the device profile. Same math: the l2norm
     # over the query axis just moves from the last axis to axis 2.)
-    attn = jnp.einsum("csd,qld->cqls", context, query)
-    attn = jax.nn.leaky_relu(attn, negative_slope=0.1)
+    attn0 = jnp.einsum("csd,qld->cqls", context_n, query_n)
+    attn = jax.nn.leaky_relu(attn0, negative_slope=0.1)
     # l2norm over the *query* axis — reference loss.py:238 (l2norm(attn, 3))
     attn = l2norm(attn, axis=2)
     # cast masks to the compute dtype: f32 masks would silently promote the
@@ -118,9 +107,91 @@ def func_attention(
     re_attn = jnp.where(ok, tmp_attn, attn) / jnp.where(
         ok, attn_sum, jnp.sum(attn, axis=-1, keepdims=True)
     )
+    return re_attn, attn0
 
+
+def func_attention(
+    query,
+    context,
+    query_mask,
+    context_mask,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "prob",
+):
+    """All-pairs cross attention: for every (context item c, query item q),
+    attend each query position over the context positions and return the
+    attention-weighted (l2-normalized) context.
+
+    Runs in the dtype of `query`/`context` (masks are cast to match): the
+    O(B^2 * Lq * Ls) intermediates dominate HBM traffic, so bfloat16 inputs
+    halve the loss's memory cost (see `xattn_score(compute_dtype=...)`).
+
+    Args:
+      query: (Bq, Lq, D)
+      context: (Bc, Ls, D)
+      query_mask: additive (Bq, Lq)   [no-op; kept for parity]
+      context_mask: additive (Bc, Ls)
+    Returns:
+      weighted context (Bc, Bq, Lq, D)
+    """
+    query = l2norm(query, axis=-1)
+    context = l2norm(context, axis=-1)
+    re_attn, _ = _re_attention(
+        query, context, query_mask, context_mask, lambda_softmax, focal_type
+    )
     # weighted ctx over source positions: (Bc, Bq, Lq, D)
     return jnp.einsum("cqls,csd->cqld", re_attn, context)
+
+
+def _sim_one_direction_gram(
+    query,
+    context,
+    query_mask,
+    context_mask,
+    lambda_softmax: float,
+    focal_type: str,
+    eps: float = 1e-8,
+):
+    """mean_l cos(query_ql, wei_cql) WITHOUT materializing the weighted
+    context (Bc, Bq, Lq, D) tensor. Returns (Bc, Bq) float32.
+
+    Identity (reference model/loss.py:242-291 semantics): with
+    qn = q/(|q|+e), cn = c/(|c|+e) and wei = sum_s re_attn * cn,
+      q . wei   = (|q|+e) * sum_s re_attn * attn0          (attn0 = qn.cn)
+      |wei|^2   = re_attn^T G re_attn,   G_st = cn_s . cn_t  (tiny Gram)
+      cos       = (q.wei) / max(|q| * |wei|, eps)
+    so the O(B^2 Lq D) weighted-context einsum + cosine (the HBM-dominant
+    tensors of the local loss: ~840 MB bf16 at B=128, Lq=100, D=256) become
+    one O(B^2 Lq Ls^2) Gram quadratic form with Ls <= 100 — ~40% of the
+    MACs and ~1/8 of the HBM traffic. Same math to float-associativity;
+    pinned against the torch reference by tests/test_reference_loss_parity.
+    """
+    qn = l2norm(query, axis=-1)
+    cn = l2norm(context, axis=-1)
+    re_attn, attn0 = _re_attention(
+        qn, cn, query_mask, context_mask, lambda_softmax, focal_type
+    )
+    # numerator core + Gram quadratic form, f32-accumulated (strictly more
+    # precise than the old bf16 dot-over-D; identical in f32 mode). The
+    # (Bq, Lq) axes are flattened to one batch-row axis so every contraction
+    # is a clean (Bc)-batched 3-D matmul / row dot — 4-D einsums here made
+    # XLA pick transposed operand layouts (explicit (c,q,l,s) copy fusions
+    # in the round-3 xplane trace).
+    bc, bq, lq, ls = re_attn.shape
+    re2 = re_attn.reshape(bc, bq * lq, ls)
+    a02 = attn0.reshape(bc, bq * lq, ls)
+    s = jnp.einsum("cns,cns->cn", re2, a02, preferred_element_type=jnp.float32)
+    gram = jnp.einsum("csd,ctd->cst", cn, cn, preferred_element_type=jnp.float32)
+    # h stays in compute dtype (MXU accumulates f32 internally either way);
+    # only the final VPU dot carries f32 out — avoids an f32 (B^2,Lq,Ls)
+    # intermediate + convert round-trip in bf16 mode
+    h = jnp.einsum("cns,cst->cnt", re2, gram.astype(re2.dtype))
+    w2sq = jnp.einsum("cnt,cnt->cn", h, re2, preferred_element_type=jnp.float32)
+    w1 = jnp.linalg.norm(query.astype(jnp.float32), axis=-1)  # (Bq, Lq)
+    w12 = (w1.reshape(1, bq * lq) + eps) * s
+    w2 = jnp.sqrt(jnp.maximum(w2sq, 0.0))
+    cos = w12 / jnp.maximum(w1.reshape(1, bq * lq) * w2, eps)
+    return jnp.mean(cos.reshape(bc, bq, lq), axis=-1)  # (Bc, Bq)
 
 
 def _xattn_score_xla(
@@ -135,6 +206,19 @@ def _xattn_score_xla(
     if compute_dtype is not None:
         images = images.astype(compute_dtype)
         captions = captions.astype(compute_dtype)
+    if os.environ.get("DEMOVLP_XATTN_GRAM", "1") == "1":
+        # Gram-form cosine: no (B^2, L, D) weighted-context tensors (see
+        # _sim_one_direction_gram). DEMOVLP_XATTN_GRAM=0 re-ablates the
+        # original weighted-context formulation.
+        # i2t: attend caption words over image regions
+        i2t_sim = _sim_one_direction_gram(
+            captions, images, cap_mask, img_mask, lambda_softmax, focal_type
+        )  # (n_img, n_cap)
+        # t2i: attend image regions over caption words
+        t2i_sim = _sim_one_direction_gram(
+            images, captions, img_mask, cap_mask, lambda_softmax, focal_type
+        )  # (n_cap, n_img)
+        return t2i_sim.T + i2t_sim  # f32 (n_img, n_cap)
     # i2t: attend caption words over image regions
     wei_context = func_attention(
         captions, images, cap_mask, img_mask, lambda_softmax, focal_type

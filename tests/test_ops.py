@@ -120,3 +120,50 @@ def test_xattn_blockwise_matches_dense():
     )
     np.testing.assert_allclose(np.asarray(blocked), np.asarray(dense),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("focal_type", ["equal", "prob"])
+@pytest.mark.parametrize("compute_dtype", [None, jnp.bfloat16])
+def test_xattn_gram_matches_weighted_context(focal_type, compute_dtype, monkeypatch):
+    """The Gram-form cosine (no (B^2, Lq, D) weighted-context tensor) equals
+    the original weighted-context formulation: f32 to float-associativity,
+    bf16 within the bf16 pipeline's own rounding envelope."""
+    from demovlp_tpu.ops.xattn import _xattn_score_xla
+
+    im = _rand(5, 7, 16, seed=20)
+    s = _rand(6, 9, 16, seed=21)
+    imm = _masks(5, 7, seed=22)
+    sm = _masks(6, 9, seed=23)
+    args = (jnp.array(im), jnp.array(s), jnp.array(imm), jnp.array(sm),
+            20.0, focal_type, compute_dtype)
+    monkeypatch.setenv("DEMOVLP_XATTN_GRAM", "1")
+    got = np.asarray(_xattn_score_xla(*args))
+    monkeypatch.setenv("DEMOVLP_XATTN_GRAM", "0")
+    want = np.asarray(_xattn_score_xla(*args))
+    tol = 1e-5 if compute_dtype is None else 2e-2
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_xattn_gram_gradients_match(monkeypatch):
+    """Training uses grad-of-xattn_score: the Gram form's VJP must agree
+    with the weighted-context form's."""
+    from demovlp_tpu.ops.xattn import _xattn_score_xla
+
+    im = _rand(4, 5, 8, seed=30)
+    s = _rand(4, 6, 8, seed=31)
+    imm = _masks(4, 5, seed=32)
+    sm = _masks(4, 6, seed=33)
+
+    def loss(im_, s_, flag):
+        monkeypatch.setenv("DEMOVLP_XATTN_GRAM", flag)
+        sims = _xattn_score_xla(im_, s_, jnp.array(imm), jnp.array(sm),
+                                20.0, "equal", None)
+        return jnp.sum(sims * jnp.cos(jnp.arange(sims.size).reshape(sims.shape)))
+
+    g1 = jax.grad(lambda a, b: loss(a, b, "1"), argnums=(0, 1))(
+        jnp.array(im), jnp.array(s))
+    g0 = jax.grad(lambda a, b: loss(a, b, "0"), argnums=(0, 1))(
+        jnp.array(im), jnp.array(s))
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
