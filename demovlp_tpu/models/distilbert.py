@@ -112,16 +112,23 @@ class DistilBertModel(nn.Module):
         cfg = self.config
         B, L = input_ids.shape
 
+        # Embedding tables stay f32 through the gather: nn.Embed(dtype=bf16)
+        # casts the WHOLE (vocab, dim) table before the take — an explicit
+        # 0.57 ms/step bf16[30522,768] fusion in the round-3 xplane trace —
+        # to read ~12.8k rows. Gather f32 rows, cast the (B, L, dim) result
+        # after the (f32-stat) embedding LayerNorm instead. Also matches the
+        # reference's f32 embedding-sum/LayerNorm numerics exactly.
         word_emb = nn.Embed(
-            cfg.vocab_size, cfg.dim, dtype=self.dtype, name="word_embeddings"
+            cfg.vocab_size, cfg.dim, dtype=jnp.float32, name="word_embeddings"
         )(input_ids)
         positions = jnp.arange(L)[None, :]
         pos_emb = nn.Embed(
-            cfg.max_position_embeddings, cfg.dim, dtype=self.dtype,
+            cfg.max_position_embeddings, cfg.dim, dtype=jnp.float32,
             name="position_embeddings",
         )(positions)
         x = _LayerNorm(cfg.layer_norm_eps, self.norm_dtype, name="emb_layer_norm")(word_emb + pos_emb)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = x.astype(self.dtype)
 
         # large-negative additive bias for padded keys (HF uses masked_fill
         # with -inf; a finite large-negative is the numerically-safe TPU form)
