@@ -56,9 +56,19 @@ def np_var_attention(x, add_mask, params, mode, F, K, h):
     return out @ params["proj"]["kernel"] + params["proj"]["bias"]
 
 
-@pytest.mark.parametrize("mode", ["space", "time"])
-def test_var_attention_matches_oracle(mode):
-    B, F, K, D, h = 2, 3, 4, 16, 2
+@pytest.mark.parametrize(
+    "mode,F,K",
+    [
+        ("space", 3, 4),
+        ("time", 3, 4),
+        # single-group shapes: exercise the full-attention fast path
+        # (space at F=1 — the flagship pre-train shape — and time at K=1)
+        ("space", 1, 4),
+        ("time", 3, 1),
+    ],
+)
+def test_var_attention_matches_oracle(mode, F, K):
+    B, D, h = 2, 16, 2
     N1 = 1 + F * K
     rng = np.random.RandomState(0)
     x = rng.randn(B, N1, D).astype(np.float32)
