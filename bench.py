@@ -118,7 +118,10 @@ def main() -> None:
     # 1,458 vs 1,283 pairs/s measured on v5e (BENCH_NOTES.md round 2)
     local_dtype = os.environ.get("BENCH_LOCAL_DTYPE", "bfloat16")
     local_remat = os.environ.get("BENCH_LOCAL_REMAT", "0") == "1"
-    tx = make_optimizer(lr=1e-5)
+    # BENCH_MU_DTYPE=bfloat16 stores Adam's first moment in bf16 (halves its
+    # slice of the 28 B/param optimizer stream); default f32 = reference
+    # numerics (see train/optim.py make_optimizer)
+    tx = make_optimizer(lr=1e-5, mu_dtype=os.environ.get("BENCH_MU_DTYPE"))
     sb = shard_batch(batch, mesh)
 
     def measure(ld: str) -> float:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax.numpy as jnp
 import optax
 
 
@@ -46,9 +47,13 @@ def step_decay_lr(
     return lr
 
 
-def _adamw(learning_rate, b1, b2, eps, weight_decay, max_grad_norm=None):
+def _adamw(
+    learning_rate, b1, b2, eps, weight_decay, max_grad_norm=None,
+    mu_dtype=None,
+):
     tx = optax.adamw(
-        learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay
+        learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+        mu_dtype=mu_dtype,
     )
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
@@ -62,10 +67,17 @@ def make_optimizer(
     eps: float = 1e-6,
     weight_decay: float = 0.0,
     max_grad_norm: float | None = None,
+    mu_dtype: str | None = None,
 ) -> optax.GradientTransformation:
-    """AdamW matching transformers.AdamW defaults, learning rate injected."""
+    """AdamW matching transformers.AdamW defaults, learning rate injected.
+
+    mu_dtype: storage dtype for the first moment (e.g. "bfloat16" halves its
+    HBM traffic/footprint — ~4 B/param of the 28 B/param update stream).
+    Default None = f32 = exact reference numerics (torch AdamW keeps f32
+    state); opt-in via the config's optimizer args.
+    """
     return optax.inject_hyperparams(
-        _adamw, static_args=("max_grad_norm",)
+        _adamw, static_args=("max_grad_norm", "mu_dtype")
     )(
         learning_rate=lr,
         b1=b1,
@@ -73,4 +85,5 @@ def make_optimizer(
         eps=eps,
         weight_decay=weight_decay,
         max_grad_norm=max_grad_norm,
+        mu_dtype=None if mu_dtype is None else jnp.dtype(mu_dtype),
     )
