@@ -37,6 +37,37 @@ from demovlp_tpu.models.layers import LayerNormFp32, Mlp, trunc_normal_init
 from demovlp_tpu.ops.masking import additive_mask
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _block_bias(mode: str, F: int, K: int) -> np.ndarray:
+    """Static (1+F*K, 1+F*K) additive bias encoding divided space/time
+    attention as masked FULL attention.
+
+    Token i>0 belongs to group (i-1)//K (space: its frame) or (i-1)%K (time:
+    its region index). allowed(q, k) = q is CLS, or k is CLS, or same group —
+    exactly the key set each row sees in the grouped computation (reference
+    object_transformer.py:125-196: CLS attends globally, group members see
+    [CLS] + their group). Disallowed pairs get -1e9: after the f32 softmax
+    max-shift, exp(-1e9 - m) underflows to exactly 0.0, so the probability
+    rows equal the grouped softmax up to reduction-order ulps (padding mask
+    adds on top, same as the grouped path). This trades O(N^2/G) attention
+    FLOPs for O(N^2) — a win at the reference's tiny group sizes (<=31
+    tokens/group, N<=241), where the grouped form's split/concat/broadcast
+    layout ops dominate its MXU time.
+    """
+    n = F * K
+    g = np.arange(n) // K if mode == "space" else np.arange(n) % K
+    allowed = np.zeros((1 + n, 1 + n), bool)
+    allowed[0, :] = True
+    allowed[:, 0] = True
+    allowed[1:, 1:] = g[:, None] == g[None, :]
+    return np.where(allowed, 0.0, -1e9).astype(np.float32)
+
+
 def _grouped_attention(q, k, v, bias):
     """softmax(q k^T + bias) v, head-LAST layout.
 
@@ -63,7 +94,10 @@ class VarAttention(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = True
     zero_init: bool = False  # reference 'zeros' initialize mode (:142-148)
-    attn_impl: str = "xla"  # "xla" | "pallas" (fused grouped-attention core)
+    # "xla": grouped batched matmuls; "dense": masked full attention (same
+    # math, better MXU shape at tiny groups — see _block_bias); "pallas":
+    # interpret-mode prototype kernel (guarded on compiled TPU)
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -116,6 +150,19 @@ class VarAttention(nn.Module):
             out = _grouped_attention(
                 q, k, v, mask[:, None, None, :]
             )  # (B,N1,h,hd)
+            return nn.Dense(
+                D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"
+            )(out.reshape(B, N1, D))
+
+        # --- dense path: masked full attention over all N1 tokens ---
+        # Same math as the grouped path (see _block_bias); one big batched
+        # MXU matmul instead of G tiny ones plus the CLS split/concat layout
+        # machinery. The extra FLOPs are cheap at N1<=241.
+        if self.attn_impl == "dense":
+            bias = mask[:, None, None, :] + jnp.asarray(
+                _block_bias(mode, F, K)
+            )
+            out = _grouped_attention(q, k, v, bias)  # (B,N1,h,hd)
             return nn.Dense(
                 D, kernel_init=proj_kernel_init, dtype=self.dtype, name="proj"
             )(out.reshape(B, N1, D))

@@ -56,6 +56,7 @@ def np_var_attention(x, add_mask, params, mode, F, K, h):
     return out @ params["proj"]["kernel"] + params["proj"]["bias"]
 
 
+@pytest.mark.parametrize("attn_impl", ["xla", "dense"])
 @pytest.mark.parametrize(
     "mode,F,K",
     [
@@ -67,7 +68,7 @@ def np_var_attention(x, add_mask, params, mode, F, K, h):
         ("time", 3, 1),
     ],
 )
-def test_var_attention_matches_oracle(mode, F, K):
+def test_var_attention_matches_oracle(mode, F, K, attn_impl):
     B, D, h = 2, 16, 2
     N1 = 1 + F * K
     rng = np.random.RandomState(0)
@@ -76,7 +77,7 @@ def test_var_attention_matches_oracle(mode, F, K):
     binary[:, 0] = 1.0
     add_mask = (binary - 1.0) * 100.0
 
-    mod = VarAttention(dim=D, num_heads=h)
+    mod = VarAttention(dim=D, num_heads=h, attn_impl=attn_impl)
     params = mod.init(
         jax.random.PRNGKey(0), jnp.array(x), jnp.array(add_mask), mode, F, K
     )
