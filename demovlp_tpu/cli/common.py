@@ -9,9 +9,19 @@ from __future__ import annotations
 
 import copy
 import logging
+import os
 from typing import List, Tuple
 
 import jax
+
+# Honor an explicit JAX_PLATFORMS request even when a PJRT-plugin
+# sitecustomize has already pinned jax_platforms programmatically (a
+# config.update beats the env var, so `JAX_PLATFORMS=cpu python -m
+# demovlp_tpu.cli.train ...` would otherwise still try the plugin backend —
+# and hang the whole run when that backend is unreachable). Same pinning
+# pattern as tests/conftest.py; a no-op when the env agrees with the config.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from demovlp_tpu.config import ConfigParser
 from demovlp_tpu.data.tokenizer import build_tokenizer
