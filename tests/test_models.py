@@ -97,6 +97,25 @@ def test_timeattn_variant_runs():
     assert any("timeattn" in n for n in names)
 
 
+def test_object_transformer_dense_attn_matches_xla():
+    """Full 2-block model (timeattn + space + partial masks): the dense
+    masked-full-attention path must reproduce the grouped path exactly up
+    to reduction-order ulps (same params, multi-group F=3/K=4 shape)."""
+    x, mask = _object_batch(b=2, f=3, k=4, seed=7)
+    kw = dict(
+        region_nums=4, num_frames=3, output_dim=16,
+        embed_dim=16, depth=2, num_heads=2, time_module="timeattn",
+    )
+    m_xla = ObjectTransformer(**kw, attn_impl="xla")
+    m_dense = ObjectTransformer(**kw, attn_impl="dense")
+    params = m_xla.init(jax.random.PRNGKey(0), x, mask)
+    y_xla, _ = m_xla.apply(params, x, mask)
+    y_dense, _ = m_dense.apply(params, x, mask)
+    np.testing.assert_allclose(
+        np.asarray(y_dense), np.asarray(y_xla), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_distilbert_shapes_and_mask():
     cfg = TINY_TEXT
     model = DistilBertModel(cfg)
