@@ -80,11 +80,21 @@ def build_model(config: ConfigParser, mesh=None):
         kwargs["text_config"] = DistilBertConfig(**text_cfg_overrides)
     if float((config.get("mlm", {}) or {}).get("weight", 0.0)) > 0:
         kwargs["with_mlm"] = True
-    dtype = config.get("precision", {}).get("compute", "float32")
+    precision = config.get("precision", {})
+    dtype = precision.get("compute", "float32")
     if dtype != "float32":
         import jax.numpy as jnp
 
         kwargs["dtype"] = getattr(jnp, dtype)
+    norm_dtype = precision.get("norm", "float32")
+    if norm_dtype != "float32":
+        import jax.numpy as jnp
+
+        kwargs["norm_dtype"] = getattr(jnp, norm_dtype)
+    # region-tower attention form: "xla" (grouped) | "dense" (masked full
+    # attention — same math, fewer layout ops at multi-frame shapes)
+    if obj_p.get("attn_impl"):
+        kwargs["attn_impl"] = obj_p["attn_impl"]
     if config.get("remat"):
         kwargs["remat"] = True
     registry._populate()

@@ -54,3 +54,23 @@ def test_config_resume_reload(tmp_path):
     config2 = ConfigParser(args2, test=True)
     assert config2["name"] == config["name"]
     assert config2.resume == ckpt
+
+
+def test_build_model_precision_and_attn_knobs(tmp_path):
+    """precision.norm and object_params.attn_impl reach the constructed arch."""
+    import jax.numpy as jnp
+
+    from demovlp_tpu.cli.common import build_model
+
+    cfg = json.loads(Path("configs/smoke/synthetic_retrieval.json").read_text())
+    cfg["precision"] = {"compute": "bfloat16", "norm": "bfloat16"}
+    cfg["arch"]["args"]["object_params"]["attn_impl"] = "dense"
+    p = tmp_path / "knobs.json"
+    p.write_text(json.dumps(cfg))
+    parser = build_argparser()
+    args = parser.parse_args(["-c", str(p)])
+    config = ConfigParser(args, test=True)
+    model = build_model(config)
+    assert model.dtype == jnp.bfloat16
+    assert model.norm_dtype == jnp.bfloat16
+    assert model.attn_impl == "dense"
