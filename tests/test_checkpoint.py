@@ -55,3 +55,34 @@ def test_overwrite_same_epoch(tmp_path):
     mgr.save(state, epoch=1, monitor_best=0.8)  # re-save same epoch works
     _, meta = mgr.restore(tmp_path / "checkpoint-epoch1", state)
     assert meta["monitor_best"] == 0.8
+
+
+def test_export_script_numpy_restore_and_extract(tmp_path):
+    """scripts/export_checkpoint.py: topology-free numpy restore of a
+    TrainState checkpoint + params extraction (the .pth write itself is
+    covered by test_torch_export.py)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "export_checkpoint", Path("scripts/export_checkpoint.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    state, _ = _tiny_state(seed=2)
+    mgr = CheckpointManager(tmp_path, arch="Tiny")
+    mgr.save(state, epoch=1, monitor_best=0.0)
+
+    tree = mod.restore_numpy_tree(tmp_path / "checkpoint-epoch1")
+    params = mod.extract_params(tree)
+    assert set(params) == {"params"}
+    np.testing.assert_array_equal(
+        params["params"]["dense"]["kernel"],
+        np.asarray(state.params["params"]["dense"]["kernel"]),
+    )
+    # every leaf is host numpy (no device/topology dependence)
+    assert all(
+        isinstance(leaf, np.ndarray)
+        for leaf in jax.tree_util.tree_leaves(tree)
+    )
