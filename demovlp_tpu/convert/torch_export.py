@@ -156,6 +156,9 @@ def export_reference_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     _export_object_tower(out, tree["object_model"], "object_model.")
     if "head" in tree:
         _export_qa_head(out, tree["head"], "head.")
+    # params with no reference counterpart (net-new capability here, e.g. the
+    # MLM head) are intentionally not exported — the reference model has no
+    # keys to hold them and its load would reject unexpected entries
     return out
 
 
