@@ -205,3 +205,46 @@ def test_tp_eval_step_accepts_tp_params(tp_mesh):
     eval1 = make_retrieval_eval_step(model, loss, single)
     _, (total1, _, _) = eval1(params, _batch(8))
     np.testing.assert_allclose(float(total), float(total1), rtol=1e-4)
+
+
+def test_export_script_reads_tp_sharded_checkpoint(tp_mesh, tmp_path):
+    """A TP-committed checkpoint exports to the reference torch schema:
+    restore_numpy_tree reassembles full (unsharded) host arrays and the
+    exported state dict strict-imports back to the original values."""
+    import importlib.util
+    from pathlib import Path
+
+    from demovlp_tpu.convert import (
+        convert_reference_checkpoint,
+        export_reference_state_dict,
+    )
+    from demovlp_tpu.train.checkpoint import CheckpointManager
+
+    model = _model()
+    params = model.init(jax.random.PRNGKey(0), _batch(2))
+    tx = make_optimizer(lr=1e-3)
+    state_tp = shard_state(TrainState.create(params, tx), tp_mesh)
+    mgr = CheckpointManager(tmp_path, arch="ObjectRelation")
+    mgr.save(state_tp, epoch=1, monitor_best=0.0)
+
+    spec = importlib.util.spec_from_file_location(
+        "export_checkpoint", Path("scripts/export_checkpoint.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tree = mod.restore_numpy_tree(mgr.latest())
+    exported = export_reference_state_dict(mod.extract_params(tree))
+
+    back = convert_reference_checkpoint(
+        exported, num_frames=F, depth=2, n_text_layers=2, strict=True
+    )
+    want = jax.tree.map(np.asarray, params["params"])
+    got = back["params"]
+    for path, leaf in jax.tree_util.tree_leaves_with_path(want):
+        ref = got
+        for k in path:
+            ref = ref[k.key]
+        np.testing.assert_array_equal(
+            np.asarray(ref, np.float32), np.asarray(leaf, np.float32),
+            err_msg=jax.tree_util.keystr(path),
+        )
