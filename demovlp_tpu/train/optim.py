@@ -15,8 +15,9 @@ step, so schedule changes never trigger recompilation.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -47,9 +48,84 @@ def step_decay_lr(
     return lr
 
 
+class PackedState(NamedTuple):
+    inner: Any
+
+
+def pack_small_leaves(
+    tx: optax.GradientTransformation, threshold: int = 8192
+) -> optax.GradientTransformation:
+    """Run `tx` on a tree where all small float32 leaves are concatenated
+    into ONE flat vector.
+
+    AdamW's update is elementwise per-parameter (weight decay here is
+    unmasked), so packing is numerically EXACT — it only changes the kernel
+    launch structure: the param tree has ~200 leaves, most of them tiny
+    biases/LayerNorm vectors, and per-leaf optimizer fusions pay a fixed
+    per-kernel overhead that measured ~40% over the HBM-traffic floor of the
+    donated update (BENCH_NOTES.md round 3, 8.9 ms vs 5.2 ms at 153.4M
+    params). Packing replaces ~N small fusions with one, at the cost of one
+    ravel/concat + split/reshape round-trip over only the small leaves' bytes
+    (a few MB). (With clip_by_global_norm in the chain the global-norm
+    reduction ORDER changes — same math, float-associativity ulps.)
+
+    The packed structure is derived from the tree's static shapes at every
+    call, so it is stable under jit. Under tensor parallelism the packed
+    vector's optimizer state falls back to replicated (parallel/tp.py
+    path-based rules), which is where small leaves live anyway.
+    """
+
+    def _plan(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        small = [
+            i
+            for i, l in enumerate(leaves)
+            if l.size <= threshold and l.dtype == jnp.float32
+        ]
+        return treedef, leaves, set(small), small
+
+    def _pack(tree):
+        treedef, leaves, small_set, small = _plan(tree)
+        big = tuple(l for i, l in enumerate(leaves) if i not in small_set)
+        if small:
+            packed = jnp.concatenate([jnp.ravel(leaves[i]) for i in small])
+        else:
+            packed = jnp.zeros((0,), jnp.float32)
+        return (big, packed)
+
+    def _unpack(packed_tree, like):
+        treedef, leaves, small_set, small = _plan(like)
+        big, packed = packed_tree
+        big_iter = iter(big)
+        offsets = {}
+        off = 0
+        for i in small:
+            offsets[i] = off
+            off += leaves[i].size
+        out = []
+        for i, l in enumerate(leaves):
+            if i in small_set:
+                o = offsets[i]
+                out.append(packed[o: o + l.size].reshape(l.shape))
+            else:
+                out.append(next(big_iter))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def init_fn(params):
+        return PackedState(inner=tx.init(_pack(params)))
+
+    def update_fn(updates, state, params=None):
+        pu = _pack(updates)
+        pp = _pack(params) if params is not None else None
+        new_u, new_inner = tx.update(pu, state.inner, pp)
+        return _unpack(new_u, updates), PackedState(inner=new_inner)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _adamw(
     learning_rate, b1, b2, eps, weight_decay, max_grad_norm=None,
-    mu_dtype=None,
+    mu_dtype=None, pack_small=False,
 ):
     tx = optax.adamw(
         learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
@@ -57,6 +133,8 @@ def _adamw(
     )
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if pack_small:
+        tx = pack_small_leaves(tx)
     return tx
 
 
@@ -68,6 +146,7 @@ def make_optimizer(
     weight_decay: float = 0.0,
     max_grad_norm: float | None = None,
     mu_dtype: str | None = None,
+    pack_small: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW matching transformers.AdamW defaults, learning rate injected.
 
@@ -75,9 +154,15 @@ def make_optimizer(
     HBM traffic/footprint — ~4 B/param of the 28 B/param update stream).
     Default None = f32 = exact reference numerics (torch AdamW keeps f32
     state); opt-in via the config's optimizer args.
+
+    pack_small: run the update with all small leaves packed into one flat
+    vector (see pack_small_leaves) — numerically exact, fewer tiny fusions.
+    Data-parallel knob: under tensor parallelism (mesh model>1) the packed
+    opt-state tuple hides the leaf names parallel/tp.py matches on, so the
+    big leaves' mu/nu would fall back to replicated — keep it off there.
     """
     return optax.inject_hyperparams(
-        _adamw, static_args=("max_grad_norm", "mu_dtype")
+        _adamw, static_args=("max_grad_norm", "mu_dtype", "pack_small")
     )(
         learning_rate=lr,
         b1=b1,
@@ -86,4 +171,5 @@ def make_optimizer(
         weight_decay=weight_decay,
         max_grad_norm=max_grad_norm,
         mu_dtype=None if mu_dtype is None else jnp.dtype(mu_dtype),
+        pack_small=pack_small,
     )
