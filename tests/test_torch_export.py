@@ -105,8 +105,27 @@ def _batch(seed=0):
     return input_ids, attn, obj, omask
 
 
-def _our_params(model_cls, seed=0, **kw):
+def _our_params(model_cls, seed=0, tiny=False, **kw):
+    """tiny=True shrinks both towers (structure identical, fast CPU init) —
+    used by the pure round-trip tests; the reference-load test keeps the
+    full-size towers the reference model instantiates."""
+    if tiny:
+        from demovlp_tpu.models.distilbert import DistilBertConfig
+
+        kw.setdefault(
+            "text_config",
+            DistilBertConfig(
+                vocab_size=128, dim=32, n_layers=2, n_heads=4, hidden_dim=64,
+                max_position_embeddings=64,
+            ),
+        )
+        kw.setdefault("object_embed_dim", 32)
+        kw.setdefault("object_depth", 2)
+        kw.setdefault("object_heads", 4)
+        kw.setdefault("projection_dim", 16)
     input_ids, attn, obj, omask = _batch()
+    if tiny:
+        input_ids = input_ids % 128
     model = model_cls(object_num=K, num_frames=F, **kw)
     params = model.init(
         jax.random.PRNGKey(seed),
@@ -136,18 +155,22 @@ def _tree_equal(a, b, path=""):
 def test_export_import_roundtrip_retrieval(time_module):
     from demovlp_tpu.models import ObjectRelation
 
-    _, params = _our_params(ObjectRelation, time_module=time_module)
+    _, params = _our_params(ObjectRelation, tiny=True, time_module=time_module)
     sd = export_reference_state_dict(params)
-    back = convert_reference_checkpoint(sd, num_frames=F, strict=True)
+    back = convert_reference_checkpoint(
+        sd, num_frames=F, depth=2, n_text_layers=2, strict=True
+    )
     _tree_equal(params["params"], back["params"])
 
 
 def test_export_import_roundtrip_qa():
     from demovlp_tpu.models import ObjectQARelation
 
-    _, params = _our_params(ObjectQARelation, num_label=NUM_LABEL)
+    _, params = _our_params(ObjectQARelation, tiny=True, num_label=NUM_LABEL)
     sd = export_reference_state_dict(params)
-    back = convert_reference_checkpoint(sd, num_frames=F, strict=True)
+    back = convert_reference_checkpoint(
+        sd, num_frames=F, depth=2, n_text_layers=2, strict=True
+    )
     _tree_equal(params["params"], back["params"])
 
 
@@ -156,7 +179,7 @@ def test_save_reference_checkpoint_schema(tmp_path):
     own load path accepts it end to end."""
     from demovlp_tpu.models import ObjectRelation
 
-    _, params = _our_params(ObjectRelation)
+    _, params = _our_params(ObjectRelation, tiny=True)
     path = str(tmp_path / "export.pth")
     save_reference_checkpoint(
         path, params, epoch=3, config={"name": "x"}, monitor_best=1.5
@@ -166,7 +189,9 @@ def test_save_reference_checkpoint_schema(tmp_path):
         "arch", "epoch", "state_dict", "optimizer", "monitor_best", "config",
     }
     assert ckpt["epoch"] == 3 and ckpt["arch"] == "ObjectRelation"
-    back = load_reference_checkpoint(path, num_frames=F, strict=True)
+    back = load_reference_checkpoint(
+        path, num_frames=F, depth=2, n_text_layers=2, strict=True
+    )
     _tree_equal(params["params"], back["params"])
 
 
