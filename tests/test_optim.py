@@ -116,3 +116,54 @@ def test_step_decay_lr_reference_semantics():
     assert step_decay_lr(2, 3e-5, 2e-4, [2, 4]) == 2e-4
     assert step_decay_lr(3, 3e-5, 2e-4, [2, 4]) == pytest.approx(2e-5)
     assert step_decay_lr(5, 3e-5, 2e-4, [2, 4]) == pytest.approx(2e-6)
+
+
+def test_pack_small_full_train_step_exact():
+    """The jitted SPMD retrieval train step (donated state, in-jit LR
+    injection) produces identical params with pack_small on/off — same loss
+    scalar, params equal up to XLA fusion-reordering ulps (the two configs
+    compile to different fusion groupings; observed max dev 6e-11)."""
+    from demovlp_tpu.losses import GlobalLocalLoss
+    from demovlp_tpu.models import ObjectRelation
+    from demovlp_tpu.models.distilbert import DistilBertConfig
+    from demovlp_tpu.parallel import create_mesh, shard_batch
+    from demovlp_tpu.train.state import TrainState
+    from demovlp_tpu.train.steps import make_retrieval_train_step
+
+    model = ObjectRelation(
+        object_num=4, num_frames=2, projection_dim=16,
+        text_config=DistilBertConfig(
+            vocab_size=1000, dim=32, n_layers=2, n_heads=4, hidden_dim=64,
+            max_position_embeddings=128,
+        ),
+        object_embed_dim=32, object_depth=2, object_heads=4,
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": rng.randint(1, 1000, size=(8, 100)).astype(np.int32),
+        "attention_mask": np.ones((8, 100), np.int32),
+        "object": rng.randn(8, 2, 4, 2054).astype(np.float32),
+        "object_mask": np.ones((8, 2, 4), np.float32),
+    }
+    loss = GlobalLocalLoss(
+        use_local=True, use_global=True, coef=1.0, focal_type="equal"
+    )
+    mesh = create_mesh()
+    key = jax.random.PRNGKey(0)
+    params = jax.tree.map(np.asarray, jax.jit(lambda: None)() or
+                          ObjectRelation.init(model, key, batch))
+
+    results = {}
+    for pack in (False, True):
+        tx = make_optimizer(lr=1e-3, pack_small=pack)
+        state = TrainState.create(jax.tree.map(jnp.asarray, params), tx)
+        step = make_retrieval_train_step(model, loss, tx, mesh)
+        state, m = step(state, shard_batch(batch, mesh), 1e-3, key)
+        state, m = step(state, shard_batch(batch, mesh), 1e-3, key)
+        results[pack] = (float(m["loss"]), jax.tree.map(np.asarray, state.params))
+
+    assert results[False][0] == results[True][0]
+    for a, b in zip(
+        jax.tree.leaves(results[False][1]), jax.tree.leaves(results[True][1])
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-9)
