@@ -14,14 +14,9 @@ from typing import List, Tuple
 
 import jax
 
-# Honor an explicit JAX_PLATFORMS request even when a PJRT-plugin
-# sitecustomize has already pinned jax_platforms programmatically (a
-# config.update beats the env var, so `JAX_PLATFORMS=cpu python -m
-# demovlp_tpu.cli.train ...` would otherwise still try the plugin backend —
-# and hang the whole run when that backend is unreachable). Same pinning
-# pattern as tests/conftest.py; a no-op when the env agrees with the config.
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+from demovlp_tpu.utils.platform import pin_platform_from_env
+
+pin_platform_from_env()
 
 from demovlp_tpu.config import ConfigParser
 from demovlp_tpu.data.tokenizer import build_tokenizer
@@ -118,6 +113,17 @@ def build_metrics(config: ConfigParser) -> List:
 def build_optimizer(config: ConfigParser):
     opt_args = dict(config["optimizer"].get("args", {}))
     lr = float(opt_args.pop("lr", 1e-5))
+    if opt_args.get("pack_small") and int(
+        config.get("mesh", {}).get("model", 1)
+    ) > 1:
+        # PackedState hides the leaf names parallel/tp.py matches on, so
+        # mu/nu for ALL leaves — the big matrices included — would silently
+        # fall back to replicated: ~model-axis x the optimizer-state HBM per
+        # chip. Fail loudly instead of OOMing mysteriously.
+        raise ValueError(
+            "optimizer.args.pack_small is a data-parallel knob and is not "
+            "supported with tensor parallelism (mesh.model > 1); remove one."
+        )
     return make_optimizer(lr=lr, **opt_args)
 
 

@@ -103,6 +103,13 @@ class VarAttention(nn.Module):
     @nn.compact
     def __call__(self, x, add_mask, mode: str, frames: int, patches: int):
         assert mode in ("space", "time")
+        if self.attn_impl not in ("xla", "dense", "pallas"):
+            # unknown values must not silently run the default path (a
+            # config typo like "desne" would otherwise benchmark xla)
+            raise ValueError(
+                f"unknown attn_impl {self.attn_impl!r}; "
+                "expected 'xla', 'dense' or 'pallas'"
+            )
         B, N1, D = x.shape
         F, K = frames, patches
         assert N1 == 1 + F * K, (N1, F, K)

@@ -76,6 +76,10 @@ def pack_small_leaves(
     """
 
     def _plan(tree):
+        """Packing plan from a tree's static shapes/dtypes. ONE plan is used
+        per update for both the grads and the params trees (they must agree
+        leaf-for-leaf — asserted in _pack — so adamw's weight-decay term can
+        never pair a packed update with a misaligned packed param)."""
         leaves, treedef = jax.tree_util.tree_flatten(tree)
         small = [
             i
@@ -84,8 +88,15 @@ def pack_small_leaves(
         ]
         return treedef, leaves, set(small), small
 
-    def _pack(tree):
-        treedef, leaves, small_set, small = _plan(tree)
+    def _pack(tree, plan):
+        treedef, plan_leaves, small_set, small = plan
+        leaves = jax.tree_util.tree_leaves(tree)
+        assert len(leaves) == len(plan_leaves)
+        for l, pl in zip(leaves, plan_leaves):
+            assert l.shape == pl.shape and l.dtype == pl.dtype, (
+                "pack_small: tree disagrees with the packing plan "
+                f"({l.shape}/{l.dtype} vs {pl.shape}/{pl.dtype})"
+            )
         big = tuple(l for i, l in enumerate(leaves) if i not in small_set)
         if small:
             packed = jnp.concatenate([jnp.ravel(leaves[i]) for i in small])
@@ -93,8 +104,8 @@ def pack_small_leaves(
             packed = jnp.zeros((0,), jnp.float32)
         return (big, packed)
 
-    def _unpack(packed_tree, like):
-        treedef, leaves, small_set, small = _plan(like)
+    def _unpack(packed_tree, plan):
+        treedef, leaves, small_set, small = plan
         big, packed = packed_tree
         big_iter = iter(big)
         offsets = {}
@@ -112,13 +123,15 @@ def pack_small_leaves(
         return jax.tree_util.tree_unflatten(treedef, out)
 
     def init_fn(params):
-        return PackedState(inner=tx.init(_pack(params)))
+        plan = _plan(params)
+        return PackedState(inner=tx.init(_pack(params, plan)))
 
     def update_fn(updates, state, params=None):
-        pu = _pack(updates)
-        pp = _pack(params) if params is not None else None
+        plan = _plan(updates)
+        pu = _pack(updates, plan)
+        pp = _pack(params, plan) if params is not None else None
         new_u, new_inner = tx.update(pu, state.inner, pp)
-        return _unpack(new_u, updates), PackedState(inner=new_inner)
+        return _unpack(new_u, plan), PackedState(inner=new_inner)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

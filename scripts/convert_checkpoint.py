@@ -13,7 +13,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# pure host work: JAX_PLATFORMS=cpu must win over a plugin-pinned jax.config
+from demovlp_tpu.utils.platform import pin_platform_from_env  # noqa: E402
+
+pin_platform_from_env()
 
 
 def main() -> None:

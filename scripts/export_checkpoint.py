@@ -26,18 +26,20 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# honor an explicit JAX_PLATFORMS request over a plugin-pinned jax.config
-# (same pattern as demovlp_tpu/cli/common.py) — the export is pure host work,
-# so JAX_PLATFORMS=cpu must not touch an accelerator backend
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
+# pure host work: JAX_PLATFORMS=cpu must win over a plugin-pinned jax.config
+from demovlp_tpu.utils.platform import pin_platform_from_env  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+pin_platform_from_env()
 
 
-def restore_numpy_tree(path: Path):
+def restore_numpy_tree(path: Path, params_only: bool = False):
     """Orbax restore with every leaf as a host np.ndarray, regardless of the
-    device topology the checkpoint was saved under."""
+    device topology the checkpoint was saved under.
+
+    params_only=True prunes the optimizer state (AdamW mu/nu — ~2x the
+    params bytes in a TrainState checkpoint) from the restore target, so the
+    export reads only the weights it keeps. Orbax restores the requested
+    subtree only; missing siblings are simply not read."""
     import jax
     import numpy as np
     import orbax.checkpoint as ocp
@@ -45,18 +47,23 @@ def restore_numpy_tree(path: Path):
 
     ckptr = ocp.PyTreeCheckpointer()
     md = ckptr.metadata(path).item_metadata.tree
+    kwargs = {}
+    if params_only and isinstance(md, dict) and "opt_state" in md and "params" in md:
+        md = {"params": md["params"]}
+        kwargs["partial_restore"] = True
     is_leaf = lambda x: isinstance(x, vmeta.Metadata)  # noqa: E731
     target = jax.tree.map(lambda m: np.zeros(m.shape, m.dtype), md, is_leaf=is_leaf)
     rargs = jax.tree.map(lambda _: ocp.RestoreArgs(restore_type=np.ndarray), target)
-    return ckptr.restore(path, item=target, restore_args=rargs)
+    return ckptr.restore(path, item=target, restore_args=rargs, **kwargs)
 
 
 def extract_params(tree) -> dict:
-    """TrainState tree or params-only tree -> {'params': {...}}."""
+    """TrainState tree (full or params-only-pruned) or a bare params tree
+    -> {'params': {...}}."""
     t = tree
-    if "params" in t and "opt_state" in t:  # TrainState
+    if "params" in t and ("opt_state" in t or set(t) == {"params"}):
         t = t["params"]
-    if set(t) == {"params"}:
+    if isinstance(t, dict) and set(t) == {"params"}:
         return t
     return {"params": t}
 
@@ -81,7 +88,7 @@ def main() -> None:
     src = Path(args.src).absolute()
     # convert_checkpoint.py layout keeps the tree under <dir>/params
     ckpt_dir = src / "params" if (src / "params" / "_METADATA").exists() else src
-    tree = restore_numpy_tree(ckpt_dir)
+    tree = restore_numpy_tree(ckpt_dir, params_only=True)
     params = extract_params(tree)
 
     meta_file = src / "meta.json"

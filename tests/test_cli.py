@@ -74,3 +74,17 @@ def test_build_model_precision_and_attn_knobs(tmp_path):
     assert model.dtype == jnp.bfloat16
     assert model.norm_dtype == jnp.bfloat16
     assert model.attn_impl == "dense"
+
+
+def test_build_optimizer_rejects_pack_small_with_tp(tmp_path):
+    from demovlp_tpu.cli.common import build_optimizer
+
+    cfg = json.loads(Path("configs/smoke/synthetic_retrieval.json").read_text())
+    cfg["mesh"] = {"model": 2}
+    cfg["optimizer"]["args"]["pack_small"] = True
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(cfg))
+    parser = build_argparser()
+    config = ConfigParser(parser.parse_args(["-c", str(p)]), test=True)
+    with pytest.raises(ValueError, match="pack_small"):
+        build_optimizer(config)

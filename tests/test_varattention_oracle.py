@@ -90,3 +90,12 @@ def test_var_attention_matches_oracle(mode, F, K, attn_impl):
         x.astype(np.float64), add_mask.astype(np.float64), p, mode, F, K, h
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_unknown_attn_impl_rejected():
+    """A typo'd attn_impl must raise, not silently run the xla path."""
+    mod = VarAttention(dim=16, num_heads=2, attn_impl="desne")
+    x = jnp.zeros((1, 5, 16))
+    m = jnp.zeros((1, 5))
+    with pytest.raises(ValueError, match="attn_impl"):
+        mod.init(jax.random.PRNGKey(0), x, m, "space", 1, 4)
