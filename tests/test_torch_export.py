@@ -245,3 +245,54 @@ def test_export_loads_into_reference_with_forward_parity(ref):
             np.asarray(out[key]), ref_out[key].numpy(),
             atol=1e-4, rtol=1e-4, err_msg=key,
         )
+
+
+def test_export_qa_loads_into_reference_with_logit_parity(ref):
+    """QA variant: the exported weight-norm head (g/v scalars) loads into
+    the reference's torch ObjectQARelation and reproduces our QA logits."""
+    from demovlp_tpu.models import ObjectQARelation
+
+    ours, params = _our_params(ObjectQARelation, seed=9, num_label=NUM_LABEL)
+    sd = {
+        k: torch.from_numpy(v)
+        for k, v in export_reference_state_dict(params).items()
+    }
+
+    tm = ref.ObjectQARelation(
+        object_params={
+            "object_num": K,
+            "num_frames": F,
+            "time_module": None,
+            "num_label": NUM_LABEL,
+        },
+        text_params={"model": "distilbert-base-uncased", "pretrained": True},
+    ).eval()
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("position_ids" in k for k in missing), missing
+
+    input_ids, attn, obj, omask = _batch(seed=9)
+    with torch.no_grad():
+        ref_logits = tm(
+            {
+                "text": {
+                    "input_ids": torch.from_numpy(input_ids),
+                    "attention_mask": torch.from_numpy(attn),
+                },
+                "object": torch.from_numpy(obj),
+                "object_mask": torch.from_numpy(omask),
+            }
+        )["logits"].numpy()
+    logits = np.asarray(
+        ours.apply(
+            params,
+            {
+                "input_ids": input_ids.astype(np.int32),
+                "attention_mask": attn.astype(np.int32),
+                "object": obj,
+                "object_mask": omask,
+            },
+            deterministic=True,
+        )["logits"]
+    )
+    np.testing.assert_allclose(logits, ref_logits, atol=1e-4, rtol=1e-4)
