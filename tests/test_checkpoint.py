@@ -86,3 +86,45 @@ def test_export_script_numpy_restore_and_extract(tmp_path):
         isinstance(leaf, np.ndarray)
         for leaf in jax.tree_util.tree_leaves(tree)
     )
+
+
+def test_pack_small_state_checkpoint_roundtrip(tmp_path):
+    """PackedState optimizer state (big-leaf tuple + packed flat vector)
+    survives orbax save/restore — the resume path for pack_small runs."""
+    import optax
+
+    rng = np.random.RandomState(0)
+    params = {
+        "params": {
+            "dense": {"kernel": jnp.array(rng.randn(64, 48), jnp.float32),
+                      "bias": jnp.array(rng.randn(48), jnp.float32)},
+            "ln": {"scale": jnp.array(rng.randn(48), jnp.float32)},
+        }
+    }
+    tx = make_optimizer(lr=1e-3, pack_small=True)
+    state = TrainState.create(params, tx)
+    # take one real update so mu/nu are non-trivial
+    grads = jax.tree.map(lambda l: jnp.ones_like(l) * 0.1, params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    state = state.replace(
+        params=optax.apply_updates(state.params, updates),
+        opt_state=opt_state,
+        step=state.step + 1,
+    )
+
+    mgr = CheckpointManager(tmp_path, arch="Tiny")
+    mgr.save(state, epoch=1, monitor_best=0.0)
+    template = TrainState.create(
+        jax.tree.map(jnp.zeros_like, params), tx
+    ).replace(step=jnp.zeros_like(state.step))
+    restored, _ = mgr.restore(tmp_path / "checkpoint-epoch1", template)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored state keeps training
+    updates2, _ = tx.update(grads, restored.opt_state, restored.params)
+    assert np.isfinite(
+        np.asarray(updates2["params"]["dense"]["kernel"])
+    ).all()
