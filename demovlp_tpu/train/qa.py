@@ -16,6 +16,7 @@ import numpy as np
 from demovlp_tpu.parallel.tp import state_shardings_or_none
 from demovlp_tpu.utils.prng import fast_prng_key
 from demovlp_tpu.parallel.mesh import shard_batch
+from demovlp_tpu.train.async_metrics import DeferredMetrics
 from demovlp_tpu.train.base_trainer import BaseTrainer
 from demovlp_tpu.train.state import create_train_state
 from demovlp_tpu.train.steps import (
@@ -93,6 +94,27 @@ class QATrainer(BaseTrainer):
         for dl in self.data_loader:
             dl.set_epoch(epoch)
 
+        # one-step-delayed metric fetch (train/async_metrics.py): keeps the
+        # host preparing batch i+1 while the device runs step i
+        host_step = int(self.state.step)
+
+        def _consume(m, dl_idx, batch_idx, step_no, n_text):
+            nonlocal pos_cnt, tot_cnt
+            loss_v = float(m["loss"])
+            pos_cnt += float(m["correct"])
+            tot_cnt += n_text
+            total_loss[dl_idx] += loss_v
+            if batch_idx % self.log_step == 0 and jax.process_index() == 0:
+                print(
+                    f"loss:{loss_v}, acc: {pos_cnt / max(1, tot_cnt)},"
+                    f" postive/all : {pos_cnt}/{tot_cnt}"
+                )
+            if self.writer is not None and jax.process_index() == 0:
+                self.writer.set_step(step_no, "train")
+                self.writer.log_scalar(f"loss_train_{dl_idx}", loss_v)
+
+        deferred = DeferredMetrics(_consume)
+
         for batch_idx, data_li in enumerate(zip(*self.data_loader)):
             if (batch_idx + 1) * self.total_batch_sum > self.max_samples_per_epoch:
                 break
@@ -100,20 +122,12 @@ class QATrainer(BaseTrainer):
                 arrays = prepare_batch(data, self.tokenizer)
                 arrays = shard_batch(arrays, self.mesh)
                 self.state, m = self._train_step(self.state, arrays, lr, self.rng)
-                pos_cnt += float(m["correct"])
-                tot_cnt += len(data["text"])
-                total_loss[dl_idx] += float(m["loss"])
+                host_step += 1
+                deferred.push(m, dl_idx, batch_idx, host_step, len(data["text"]))
                 n_steps += 1
-                if batch_idx % self.log_step == 0 and jax.process_index() == 0:
-                    print(
-                        f"loss:{float(m['loss'])}, acc: {pos_cnt / max(1, tot_cnt)},"
-                        f" postive/all : {pos_cnt}/{tot_cnt}"
-                    )
-                if self.writer is not None and jax.process_index() == 0:
-                    self.writer.set_step(int(self.state.step), "train")
-                    self.writer.log_scalar(f"loss_train_{dl_idx}", float(m["loss"]))
             if batch_idx == self.len_epoch:
                 break
+        deferred.flush()
 
         denom = max(1, n_steps // max(1, len(self.data_loader)))
         log = {

@@ -27,6 +27,7 @@ from demovlp_tpu.utils.prng import fast_prng_key
 from demovlp_tpu.parallel.mesh import host_allgather_ragged, shard_batch
 from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
 from demovlp_tpu.ops.similarity import sim_matrix
+from demovlp_tpu.train.async_metrics import DeferredMetrics
 from demovlp_tpu.train.base_trainer import BaseTrainer
 from demovlp_tpu.train.state import create_train_state
 from demovlp_tpu.train.steps import (
@@ -128,6 +129,30 @@ class RetrievalTrainer(BaseTrainer):
         for dl in self.data_loader:
             dl.set_epoch(epoch)
 
+        # metrics are fetched one step late (train/async_metrics.py): the
+        # host preps batch i+1 while the device runs step i instead of
+        # blocking on step i's loss scalar before touching batch i+1.
+        # state.step is a device scalar — track the global step on host.
+        host_step = int(self.state.step)
+
+        def _consume(m, dl_idx, batch_idx, step_no):
+            loss_v = float(m["loss"])
+            if batch_idx % self.log_step == 0 and jax.process_index() == 0:
+                print(
+                    f"loss:{loss_v}, global_loss: {float(m['global_loss'])},"
+                    f" local_loss: {float(m['local_loss'])}"
+                )
+                logger.debug(
+                    "Train Epoch: %d dl%d [%d/%d] Loss: %.6f",
+                    epoch, dl_idx, batch_idx, self.len_epoch, loss_v,
+                )
+            total_loss[dl_idx] += loss_v
+            if self.writer is not None and jax.process_index() == 0:
+                self.writer.set_step(step_no, "train")
+                self.writer.log_scalar(f"loss_train_{dl_idx}", loss_v)
+
+        deferred = DeferredMetrics(_consume)
+
         for batch_idx, data_li in enumerate(zip(*self.data_loader)):
             if (batch_idx + 1) * self.total_batch_sum > self.max_samples_per_epoch:
                 break
@@ -149,24 +174,12 @@ class RetrievalTrainer(BaseTrainer):
                     arrays["mlm_labels"] = labels
                 arrays = shard_batch(arrays, self.mesh)
                 self.state, m = self._train_step(self.state, arrays, lr, self.rng)
-                if batch_idx % self.log_step == 0:
-                    loss_v = float(m["loss"])
-                    if jax.process_index() == 0:
-                        print(
-                            f"loss:{loss_v}, global_loss: {float(m['global_loss'])},"
-                            f" local_loss: {float(m['local_loss'])}"
-                        )
-                        logger.debug(
-                            "Train Epoch: %d dl%d [%d/%d] Loss: %.6f",
-                            epoch, dl_idx, batch_idx, self.len_epoch, loss_v,
-                        )
-                total_loss[dl_idx] += float(m["loss"])
-                if self.writer is not None and jax.process_index() == 0:
-                    self.writer.set_step(int(self.state.step), "train")
-                    self.writer.log_scalar(f"loss_train_{dl_idx}", float(m["loss"]))
+                host_step += 1
+                deferred.push(m, dl_idx, batch_idx, host_step)
                 n_steps += 1
             if batch_idx == self.len_epoch:
                 break
+        deferred.flush()
 
         denom = max(1, n_steps // max(1, len(self.data_loader)))
         log = {
