@@ -59,6 +59,16 @@ class QATrainer(BaseTrainer):
         self.total_batch_sum = sum(dl.batch_size for dl in data_loader)
         self.batch_size = data_loader[0].batch_size
         self.log_step = max(1, int(np.sqrt(self.batch_size)))
+        # optional static text-length buckets for TRAIN batches only
+        # (config trainer.text_buckets, e.g. [32, 48, 64]): short-caption
+        # batches trim their tokenized pad columns to the smallest bucket.
+        # Opt-in perf knob — the QA head max-pools projected text over ALL
+        # positions incl. pads (reference model/model.py:286), so trimming
+        # shifts QA numerics slightly (see train/steps.py prepare_batch +
+        # PARITY.md). Eval keeps the fixed length.
+        self.text_buckets = sorted(
+            int(b) for b in (config["trainer"].get("text_buckets") or [])
+        ) or None
 
         self.valid_label2ans = {
             i: dl.dataset.label2ans for i, dl in enumerate(self.valid_data_loader)
@@ -119,7 +129,9 @@ class QATrainer(BaseTrainer):
             if (batch_idx + 1) * self.total_batch_sum > self.max_samples_per_epoch:
                 break
             for dl_idx, data in enumerate(data_li):
-                arrays = prepare_batch(data, self.tokenizer)
+                arrays = prepare_batch(
+                    data, self.tokenizer, text_buckets=self.text_buckets
+                )
                 arrays = shard_batch(arrays, self.mesh)
                 self.state, m = self._train_step(self.state, arrays, lr, self.rng)
                 host_step += 1

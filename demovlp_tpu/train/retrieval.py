@@ -81,6 +81,17 @@ class RetrievalTrainer(BaseTrainer):
         self.total_batch_sum = sum(dl.batch_size for dl in data_loader)
         self.batch_size = data_loader[0].batch_size
         self.log_step = max(1, int(np.sqrt(self.batch_size)))
+        # optional static text-length buckets for TRAIN batches only
+        # (config trainer.text_buckets, e.g. [32, 48, 64]): short-caption
+        # batches trim their tokenized pad columns to the smallest bucket.
+        # Opt-in perf knob — exact for the global CLS loss, small deviation
+        # for the local RWA loss (the reference averages over pad query
+        # positions; see train/steps.py prepare_batch + PARITY.md). Eval
+        # keeps the fixed length — its gathered embeddings are concatenated
+        # across batches and must share one shape.
+        self.text_buckets = sorted(
+            int(b) for b in (config["trainer"].get("text_buckets") or [])
+        ) or None
         self.eval_segment = int(
             config.get("eval", {}).get("local_sim_segment", 64)
         )
@@ -157,7 +168,9 @@ class RetrievalTrainer(BaseTrainer):
             if (batch_idx + 1) * self.total_batch_sum > self.max_samples_per_epoch:
                 break
             for dl_idx, data in enumerate(data_li):
-                arrays = prepare_batch(data, self.tokenizer)
+                arrays = prepare_batch(
+                    data, self.tokenizer, text_buckets=self.text_buckets
+                )
                 arrays.pop("label", None)
                 if self.mlm_weight:
                     from demovlp_tpu.data.mlm import mask_batch_text_tokens

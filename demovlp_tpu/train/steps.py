@@ -25,12 +25,46 @@ from demovlp_tpu.train.state import TrainState
 
 
 # ---------------------------------------------------------------- host side
-def prepare_batch(batch: Dict[str, Any], tokenizer, max_text_len: int = 100):
-    """Tokenize text and assemble the model's array batch (host numpy)."""
+def prepare_batch(
+    batch: Dict[str, Any],
+    tokenizer,
+    max_text_len: int = 100,
+    text_buckets=None,
+):
+    """Tokenize text and assemble the model's array batch (host numpy).
+
+    text_buckets: optional sorted lengths (e.g. [32, 48, 64]). The padded
+    (B, max_text_len) encoding is trimmed to the smallest bucket that still
+    holds the batch's longest caption (never trimming a real token), so
+    short-caption batches run the text tower + O(B^2) local loss at a
+    fraction of the fixed-100 cost. The reference always pads to 100
+    (trainer/trainer_dist.py:135-137). This is an opt-in PERF knob, default
+    off (PARITY.md): the trim is bit-exact for everything that only reads
+    masked text — the tower itself and the global CLS contrastive loss —
+    but the reference deliberately reads PAD positions in two places, so
+    those see a small numerics shift when columns are dropped: the local
+    RWA loss averages per-position cosine over ALL query positions incl.
+    pads (model/loss.py:317-327), and QA max-pools projected text over ALL
+    positions (model/model.py:286). Both are pinned (exact global /
+    bounded local) by tests/test_text_buckets.py. Each bucket length is one
+    extra compiled executable (static shapes), which is why this takes a
+    small explicit list rather than pad-to-longest.
+    """
     text = batch["text"]
     if text and isinstance(text[0], (list, tuple)):  # MC: flatten options
         text = [t for opts in text for t in opts]
     enc = tokenizer(text, max_length=max_text_len)
+    if text_buckets:
+        longest = int(enc["attention_mask"].sum(axis=1).max())
+        L = enc["input_ids"].shape[1]
+        target = min(
+            (b for b in text_buckets if longest <= b < L), default=L
+        )
+        if target < L:
+            enc = {
+                "input_ids": enc["input_ids"][:, :target],
+                "attention_mask": enc["attention_mask"][:, :target],
+            }
     arrays = {
         "input_ids": enc["input_ids"],
         "attention_mask": enc["attention_mask"],
