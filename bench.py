@@ -37,6 +37,12 @@ ROUND1_PAIRS_PER_SEC = 1160.25
 
 
 def main() -> None:
+    # honor an explicit JAX_PLATFORMS over a plugin-pinned jax.config (e.g.
+    # JAX_PLATFORMS=cpu bench runs while the TPU tunnel is unreachable)
+    from demovlp_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
+
     import jax
 
     # persistent, runtime-version-keyed compile cache: repeat bench runs skip

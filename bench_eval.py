@@ -18,6 +18,10 @@ import time
 
 import numpy as np
 
+from demovlp_tpu.utils.platform import pin_platform_from_env  # noqa: E402
+
+pin_platform_from_env()
+
 
 def main() -> None:
     import jax

@@ -112,3 +112,33 @@ def host_allgather_ragged(x, allgather=None):
         gathered[p * cap : p * cap + int(c)] for p, c in enumerate(counts)
     ]
     return np.concatenate(parts, axis=0)
+
+
+def host_allgather_pylist(items, allgather=None):
+    """Concatenate host-local python lists (JSON-serializable items — eval
+    metadata strings like paths/captions) across processes in process
+    order, so they line up row-for-row with host_allgather_ragged'ed
+    embeddings. JSON -> utf-8 bytes -> the same pad-to-max gather as the
+    ragged array path. `allgather` is injectable for simulated
+    multi-process tests."""
+    if allgather is None:
+        if jax.process_count() == 1:
+            return list(items)
+        allgather = host_allgather
+    import json
+
+    payload = np.frombuffer(
+        json.dumps(list(items)).encode("utf-8"), np.uint8
+    )
+    counts = allgather(np.asarray([payload.shape[0]], np.int64))
+    cap = int(np.max(counts))
+    if payload.shape[0] < cap:
+        payload = np.concatenate(
+            [payload, np.zeros(cap - payload.shape[0], np.uint8)]
+        )
+    gathered = allgather(payload)
+    out = []
+    for p, c in enumerate(counts):
+        part = gathered[p * cap : p * cap + int(c)].tobytes().decode("utf-8")
+        out.extend(json.loads(part))
+    return out

@@ -161,6 +161,8 @@ def sharded_local_sims(
                 lang_mask, ((0, pad_cap), (0, 0)), constant_values=-100.0
             )
 
+    if n_img == 0:  # empty/filtered eval split: nothing to chunk or stage
+        return np.empty((0, n_cap), dtype=np.float32)
     if chunk_rows <= 0:
         chunk_rows = int(os.environ.get("DEMOVLP_EVAL_CHUNK", 4096))
     chunk = min(n_img, chunk_rows)

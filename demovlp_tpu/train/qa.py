@@ -23,6 +23,7 @@ from demovlp_tpu.train.steps import (
     make_qa_eval_step,
     make_qa_train_step,
     pad_batch,
+    parse_text_buckets,
     prepare_batch,
 )
 
@@ -59,16 +60,11 @@ class QATrainer(BaseTrainer):
         self.total_batch_sum = sum(dl.batch_size for dl in data_loader)
         self.batch_size = data_loader[0].batch_size
         self.log_step = max(1, int(np.sqrt(self.batch_size)))
-        # optional static text-length buckets for TRAIN batches only
-        # (config trainer.text_buckets, e.g. [32, 48, 64]): short-caption
-        # batches trim their tokenized pad columns to the smallest bucket.
-        # Opt-in perf knob — the QA head max-pools projected text over ALL
-        # positions incl. pads (reference model/model.py:286), so trimming
-        # shifts QA numerics slightly (see train/steps.py prepare_batch +
-        # PARITY.md). Eval keeps the fixed length.
-        self.text_buckets = sorted(
-            int(b) for b in (config["trainer"].get("text_buckets") or [])
-        ) or None
+        # opt-in text-length buckets, TRAIN batches only (eval keeps the
+        # fixed length); the QA head max-pools text over ALL positions incl.
+        # pads (reference model/model.py:286) so trimming shifts QA numerics
+        # slightly — see train/steps.py prepare_batch + PARITY.md #14
+        self.text_buckets = parse_text_buckets(config["trainer"])
 
         self.valid_label2ans = {
             i: dl.dataset.label2ans for i, dl in enumerate(self.valid_data_loader)

@@ -24,7 +24,8 @@ import numpy as np
 
 from demovlp_tpu.parallel.tp import state_shardings_or_none
 from demovlp_tpu.utils.prng import fast_prng_key
-from demovlp_tpu.parallel.mesh import host_allgather_ragged, shard_batch
+from demovlp_tpu.parallel.mesh import (host_allgather_pylist,
+                                        host_allgather_ragged, shard_batch)
 from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
 from demovlp_tpu.ops.similarity import sim_matrix
 from demovlp_tpu.train.async_metrics import DeferredMetrics
@@ -34,6 +35,7 @@ from demovlp_tpu.train.steps import (
     make_retrieval_eval_step,
     make_retrieval_train_step,
     pad_batch,
+    parse_text_buckets,
     prepare_batch,
 )
 
@@ -81,17 +83,10 @@ class RetrievalTrainer(BaseTrainer):
         self.total_batch_sum = sum(dl.batch_size for dl in data_loader)
         self.batch_size = data_loader[0].batch_size
         self.log_step = max(1, int(np.sqrt(self.batch_size)))
-        # optional static text-length buckets for TRAIN batches only
-        # (config trainer.text_buckets, e.g. [32, 48, 64]): short-caption
-        # batches trim their tokenized pad columns to the smallest bucket.
-        # Opt-in perf knob — exact for the global CLS loss, small deviation
-        # for the local RWA loss (the reference averages over pad query
-        # positions; see train/steps.py prepare_batch + PARITY.md). Eval
-        # keeps the fixed length — its gathered embeddings are concatenated
-        # across batches and must share one shape.
-        self.text_buckets = sorted(
-            int(b) for b in (config["trainer"].get("text_buckets") or [])
-        ) or None
+        # opt-in text-length buckets, TRAIN batches only (eval keeps the
+        # fixed length: gathered embeddings must share one shape); parity
+        # notes in train/steps.py prepare_batch + PARITY.md #14
+        self.text_buckets = parse_text_buckets(config["trainer"])
         self.eval_segment = int(
             config.get("eval", {}).get("local_sim_segment", 64)
         )
@@ -287,14 +282,23 @@ class RetrievalTrainer(BaseTrainer):
                 dl_metrics[metric.__name__] = res
             nested_metrics[dl_idx] = dl_metrics
 
-            if self.visualizer is not None and jax.process_index() == 0:
+            if self.visualizer is not None:
+                # metas are host-local but o2t_sims rows are the globally
+                # gathered split: gather the metadata the same way (string
+                # gather is collective — run it on every process, render on
+                # process 0 only)
                 meta_for_vis = {
-                    "paths": [m.get("paths", "") for m in metas],
-                    "raw_captions": [m.get("raw_captions", "") for m in metas],
+                    "paths": host_allgather_pylist(
+                        [m.get("paths", "") for m in metas]
+                    ),
+                    "raw_captions": host_allgather_pylist(
+                        [m.get("raw_captions", "") for m in metas]
+                    ),
                 }
-                self.visualizer.visualize_ranking(
-                    o2t_sims, epoch, meta_for_vis, dl_metrics
-                )
+                if jax.process_index() == 0:
+                    self.visualizer.visualize_ranking(
+                        o2t_sims, epoch, meta_for_vis, dl_metrics
+                    )
 
             res_dict[f"val_loss_{dl_idx}"] = total_val_loss / max(1, n_batches)
             if self.writer is not None and jax.process_index() == 0:

@@ -78,6 +78,14 @@ def prepare_batch(
     return arrays
 
 
+def parse_text_buckets(trainer_cfg):
+    """`trainer.text_buckets` config knob -> sorted int list or None.
+    Shared by the trainers; semantics and parity notes in prepare_batch."""
+    return sorted(
+        int(b) for b in (trainer_cfg.get("text_buckets") or [])
+    ) or None
+
+
 def pad_batch(arrays: Dict[str, np.ndarray], target: int) -> Tuple[Dict, int]:
     """Pad the batch axis to `target` rows (repeating row 0) so eval keeps a
     single compiled shape; returns (padded, n_valid)."""
@@ -116,28 +124,37 @@ def _retrieval_losses(loss_obj, outputs, batch, valid=None):
     )
 
 
-def _norm_free_path(path) -> bool:
-    """True when no path component belongs to a normalization layer."""
+# params that the models consume in f32 BY DESIGN even with bf16 towers:
+# norm scales/biases (norm layers compute f32 stats, models/layers.py), the
+# text token/position tables (nn.Embed(dtype=f32) — gather first, cast the
+# (B,L,D) result, not the (vocab,D) table), and the additive region
+# position/temporal embeds (f32 adds). Pre-casting any of these would break
+# the "identical to the per-op casts" contract below.
+_CAST_EXEMPT = ("word_embeddings", "position_embeddings",
+                "custom_pos_embed", "temporal_embed")
+
+
+def _cast_exempt_path(path) -> bool:
     for k in path:
-        name = str(getattr(k, "key", getattr(k, "name", k)))
-        if "norm" in name.lower():
-            return False
-    return True
+        name = str(getattr(k, "key", getattr(k, "name", k))).lower()
+        if "norm" in name or name in _CAST_EXEMPT:
+            return True
+    return False
 
 
 def cast_tower_weights(params, dtype=jnp.bfloat16):
-    """Cast every non-normalization f32 weight to `dtype` (one fused pass).
+    """Cast the matmul-consumed f32 weights to `dtype` (one fused pass).
 
     With dtype=bf16 towers, flax Dense casts its f32 kernels to bf16 at
     every use — each matmul re-reads the f32 master copy from HBM and pays
     a convert. Casting the tree ONCE per step makes the bf16 copies
     resident: the forward and backward matmuls read half the weight bytes
     and the per-op converts disappear. Numerically identical to the
-    per-op casts (same bf16 rounding); LayerNorm scales/biases stay f32
-    because the norm layers compute in f32 (models/layers.py)."""
+    per-op casts (same bf16 rounding); the _CAST_EXEMPT params stay f32
+    because the models never round them at use."""
     return jax.tree_util.tree_map_with_path(
         lambda p, x: x.astype(dtype)
-        if (x.dtype == jnp.float32 and _norm_free_path(p))
+        if (x.dtype == jnp.float32 and not _cast_exempt_path(p))
         else x,
         params,
     )

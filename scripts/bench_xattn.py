@@ -12,6 +12,10 @@ import time
 
 import numpy as np
 
+from demovlp_tpu.utils.platform import pin_platform_from_env  # noqa: E402
+
+pin_platform_from_env()
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -15,6 +15,10 @@ import sys
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 import numpy as np
+
+from demovlp_tpu.utils.platform import pin_platform_from_env  # noqa: E402
+
+pin_platform_from_env()
 import jax
 
 # the environment's sitecustomize can pre-select a hardware platform over

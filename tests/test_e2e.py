@@ -279,3 +279,21 @@ def test_model_axis_mesh_train_step():
     step1 = make_retrieval_train_step(model, loss, tx, single)
     _, m1 = step1(state1, batch, 1e-3, rng)
     np.testing.assert_allclose(float(m42["loss"]), float(m1["loss"]), rtol=1e-4)
+
+
+def test_sharded_local_sims_empty_gallery(mesh):
+    """0-row gallery (empty/filtered eval split) returns a (0, n_cap) matrix
+    instead of crashing the chunk stager."""
+    from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
+
+    rng = np.random.RandomState(0)
+    nc, r, w, d = 5, 6, 4, 16
+    img = np.zeros((0, r, d), np.float32)
+    lang = rng.randn(nc, w, d).astype(np.float32)
+    imask = np.zeros((0, r), np.float32)
+    lmask = np.zeros((nc, w), np.float32)
+    got = sharded_local_sims(
+        img, lang, imask, lmask, mesh, segment=2,
+        lambda_softmax=20.0, focal_type="equal",
+    )
+    assert got.shape == (0, nc)

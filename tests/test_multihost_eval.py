@@ -335,3 +335,28 @@ def test_padded_tail_batch_val_loss_excludes_pads(tmp_path):
     np.testing.assert_allclose(float(l8), float(l5), rtol=1e-5)
     np.testing.assert_allclose(float(g8), float(g5), rtol=1e-5)
     np.testing.assert_allclose(float(loc8), float(loc5), rtol=1e-5)
+
+
+def test_host_allgather_pylist_unequal_counts():
+    """String metadata gather: three processes with different list lengths
+    (incl. an empty one) concatenate in process order — rows line up with
+    host_allgather_ragged'ed embeddings."""
+    import json
+
+    from demovlp_tpu.parallel.mesh import host_allgather_pylist
+
+    lists = [["a/b.mp4", "a caption, with commas"],
+             ["unicode \u00e9\u00e8"], []]
+    payloads = [np.frombuffer(json.dumps(l).encode("utf-8"), np.uint8)
+                for l in lists]
+    cap = max(p.size for p in payloads)
+    padded = [np.concatenate([p, np.zeros(cap - p.size, np.uint8)])
+              for p in payloads]
+    calls = [
+        [np.asarray([p.size], np.int64) for p in payloads],
+        padded,
+    ]
+    out = host_allgather_pylist(
+        lists[0], allgather=_fake_allgather_factory(calls)
+    )
+    assert out == [x for l in lists for x in l]
