@@ -101,7 +101,10 @@ def main() -> None:
     model = ObjectRelation(
         object_num=k, num_frames=f, dtype=dtype, object_depth=obj_depth,
         text_config=DistilBertConfig(n_layers=text_layers),
-        attn_impl=os.environ.get("BENCH_ATTN", "xla"),
+        # "dense" = the shipped default (masked full attention; +21% at the
+        # f=8 fine-tune envelope, identical fast path at f=1 — BENCH_NOTES
+        # round 3). BENCH_ATTN=xla re-ablates the grouped form.
+        attn_impl=os.environ.get("BENCH_ATTN", "dense"),
         norm_dtype=norm_dtype,
     )
     rng = jax.random.PRNGKey(0)       # init (threefry, like trainers)

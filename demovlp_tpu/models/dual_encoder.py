@@ -85,7 +85,7 @@ class ObjectRelation(nn.Module):
     object_embed_dim: int = 768
     object_depth: int = 12
     object_heads: int = 12
-    attn_impl: str = "xla"
+    attn_impl: str = "dense"
     with_mlm: bool = False
     dtype: Any = jnp.float32
     # LayerNorm compute dtype for both towers (f32 = reference numerics;
@@ -171,7 +171,7 @@ class ObjectQARelation(nn.Module):
     object_embed_dim: int = 768
     object_depth: int = 12
     object_heads: int = 12
-    attn_impl: str = "xla"
+    attn_impl: str = "dense"
     dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32  # see ObjectRelation
     remat: bool = False
