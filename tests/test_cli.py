@@ -76,6 +76,32 @@ def test_build_model_precision_and_attn_knobs(tmp_path):
     assert model.attn_impl == "dense"
 
 
+@pytest.mark.parametrize(
+    "cfg_path",
+    sorted(str(p) for p in Path("configs").rglob("*.json")),
+)
+def test_every_shipped_config_constructs(cfg_path):
+    """Each shipped experiment config parses and builds its model, loss,
+    metrics, optimizer and text-bucket spec (no data dirs needed)."""
+    from demovlp_tpu.cli.common import (
+        build_loss,
+        build_metrics,
+        build_model,
+        build_optimizer,
+    )
+    from demovlp_tpu.train.steps import parse_text_buckets
+
+    parser = build_argparser()
+    config = ConfigParser(parser.parse_args(["-c", cfg_path]), test=True)
+    model = build_model(config)
+    assert model is not None
+    assert build_loss(config) is not None
+    assert build_metrics(config)
+    assert build_optimizer(config) is not None
+    buckets = parse_text_buckets(config["trainer"])
+    assert buckets is None or buckets == sorted(buckets)
+
+
 def test_build_optimizer_rejects_pack_small_with_tp(tmp_path):
     from demovlp_tpu.cli.common import build_optimizer
 
