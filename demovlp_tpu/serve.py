@@ -1,0 +1,162 @@
+"""Offline embedding extraction + retrieval index: the serving surface.
+
+The reference has NO serving layer (SURVEY.md §1: "There is no serving
+layer ... the whole framework = config-driven trainer") — using a trained
+DemoVLP model for retrieval means running a trainer validation epoch
+(trainer/trainer_dist.py:205-408). This module is net-new capability: a
+standalone, jit-compiled, mesh-sharded embedding extractor plus the
+combined global+local similarity index, so a trained checkpoint (orbax, or
+a reference .pth via the converter) serves retrieval queries without a
+training loop. `scripts/extract_embeddings.py` is the CLI.
+
+Semantics are pinned to the trainer eval path (train/retrieval.py
+_valid_epoch): identical embedding dict, identical wrap-pad/validity
+handling at any process count, and the combined matrix keeps the
+reference's orientation quirk — global_sims(text, video) +
+local_sims(video, text) summed elementwise (trainer/trainer_dist.py:
+369-385) — plus the MSCOCO every-5th-row gallery dedup (:365-368).
+tests/test_serve.py asserts the extractor matches the trainer's gathered
+arrays exactly.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demovlp_tpu.ops.masking import additive_mask
+from demovlp_tpu.ops.similarity import sim_matrix
+from demovlp_tpu.parallel.mesh import (batch_sharding, host_allgather_pylist,
+                                        host_allgather_ragged,
+                                        replicated_sharding, shard_batch)
+from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
+from demovlp_tpu.train.steps import pad_batch, prepare_batch
+
+#: keys of the gathered embedding dict, in trainer order
+EMBED_KEYS = ("g_t", "g_o", "l_t", "l_o", "o_mask", "t_mask", "t_len")
+
+
+def make_embed_step(model, mesh) -> Callable:
+    """Forward-only jitted embedding step (the eval step minus the loss).
+    Params in_sharding None inherits the committed layout, so TP-committed
+    params work unchanged (see train/steps.py make_retrieval_eval_step)."""
+
+    def step(params, batch):
+        out = model.apply(params, batch, deterministic=True)
+        out = dict(out)
+        out.pop("mlm_logits", None)  # not scored here; let XLA DCE it
+        out["text_mask_add"] = additive_mask(batch["attention_mask"][:, 1:])
+        out["text_length"] = jnp.sum(batch["attention_mask"], axis=1)
+        return out
+
+    dat = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(None, dat), out_shardings=dat)
+
+
+def embed_loader(
+    embed_step: Callable,
+    params,
+    dl,
+    tokenizer,
+    mesh,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, List[str]]]:
+    """Embed every sample of a (possibly multi-host-sharded) loader once.
+
+    Returns (cat, metas): `cat` maps EMBED_KEYS to full-split arrays in
+    dataset order — globally gathered across hosts with the same ragged
+    merge as the trainer, pad/duplicate rows dropped; `metas` carries the
+    gathered 'paths'/'raw_captions' strings, row-aligned with `cat`.
+    """
+    arrs: Dict[str, List[np.ndarray]] = {k: [] for k in EMBED_KEYS}
+    paths: List[str] = []
+    captions: List[str] = []
+    for data in dl:
+        arrays = prepare_batch(data, tokenizer)
+        arrays.pop("label", None)
+        sample_valid = arrays.pop("sample_valid", None)
+        arrays, n_valid = pad_batch(arrays, dl.batch_size)
+        valid = (np.arange(dl.batch_size) < n_valid).astype(np.float32)
+        if sample_valid is not None:
+            valid[:n_valid] *= sample_valid
+        keep = valid.astype(bool)
+        metas = data.get("meta", [{}] * n_valid)
+        for m, k in zip(metas, keep[: len(metas)]):
+            if k:
+                paths.append(str(m.get("paths", "")))
+                captions.append(str(m.get("raw_captions", "")))
+        out = embed_step(params, shard_batch(arrays, mesh))
+        arrs["g_t"].append(np.asarray(out["global_text_embeddings"])[keep])
+        arrs["g_o"].append(np.asarray(out["global_object_embeddings"])[keep])
+        arrs["l_t"].append(np.asarray(out["local_text_embeddings"])[keep])
+        arrs["l_o"].append(np.asarray(out["local_object_embeddings"])[keep])
+        arrs["o_mask"].append(np.asarray(out["object_mask"])[keep])
+        arrs["t_mask"].append(np.asarray(out["text_mask_add"])[keep])
+        arrs["t_len"].append(np.asarray(out["text_length"])[keep])
+    cat = {k: np.concatenate(v, axis=0) for k, v in arrs.items()}
+    cat = {k: host_allgather_ragged(v) for k, v in cat.items()}
+    meta = {
+        "paths": host_allgather_pylist(paths),
+        "raw_captions": host_allgather_pylist(captions),
+    }
+    return cat, meta
+
+
+def combined_sims(
+    cat: Dict[str, np.ndarray],
+    mesh,
+    *,
+    use_local: bool = True,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "equal",
+    segment: int = 64,
+    backend: str = "auto",
+    mscoco_dedup: bool = False,
+) -> np.ndarray:
+    """(text, video) similarity matrix exactly as the trainer scores eval:
+    global cosine sims + (if use_local) the mesh-sharded local
+    cross-attention sims, summed with the reference's orientation quirk."""
+    if mscoco_dedup:
+        cat = dict(cat)
+        for key in ("g_o", "l_o", "o_mask"):
+            cat[key] = cat[key][::5]
+    sims = np.asarray(sim_matrix(cat["g_t"], cat["g_o"]))
+    if use_local:
+        sims = sims + sharded_local_sims(
+            cat["l_o"],
+            cat["l_t"],
+            cat["o_mask"],
+            cat["t_mask"],
+            mesh,
+            segment=segment,
+            lambda_softmax=lambda_softmax,
+            focal_type=focal_type,
+            backend=backend,
+        )
+    return sims
+
+
+def topk_retrieval(
+    sims: np.ndarray,
+    k: int = 10,
+    query_meta: Dict[str, List[str]] | None = None,
+    gallery_meta: Dict[str, List[str]] | None = None,
+) -> List[Dict[str, Any]]:
+    """Per-query top-k gallery indices/scores from a (query, gallery)
+    similarity matrix, with optional human-readable metadata attached."""
+    k = min(k, sims.shape[1])
+    order = np.argsort(-sims, axis=1)[:, :k]
+    results = []
+    for q, idxs in enumerate(order):
+        entry: Dict[str, Any] = {
+            "query_index": q,
+            "topk_indices": idxs.tolist(),
+            "topk_scores": sims[q, idxs].astype(float).tolist(),
+        }
+        if query_meta is not None:
+            entry["query_caption"] = query_meta["raw_captions"][q]
+        if gallery_meta is not None:
+            entry["topk_paths"] = [gallery_meta["paths"][i] for i in idxs]
+        results.append(entry)
+    return results
