@@ -137,6 +137,46 @@ def combined_sims(
     return sims
 
 
+def predict_qa(
+    eval_step: Callable,
+    params,
+    dl,
+    tokenizer,
+    mesh,
+    label2ans=None,
+) -> List[Dict[str, Any]]:
+    """Offline video-QA prediction over a (possibly multi-host-sharded)
+    loader: one entry {question_id, answer (label index), answer_text} per
+    sample, every sample exactly once. Mirrors the QA trainer's eval
+    assembly (train/qa.py _valid_epoch, reference trainer/trainer_dist.py:
+    619-655) minus the metric scoring — the output feeds evaluate_qa or an
+    application directly. `eval_step` comes from
+    train.steps.make_qa_eval_step."""
+    results: List[Dict[str, Any]] = []
+    for data in dl:
+        arrays = prepare_batch(data, tokenizer)
+        arrays.pop("label", None)
+        sample_valid = arrays.pop("sample_valid", None)
+        arrays, n_valid = pad_batch(arrays, dl.batch_size)
+        keep = np.arange(dl.batch_size) < n_valid
+        if sample_valid is not None:
+            keep[:n_valid] &= sample_valid.astype(bool)
+        logits = np.asarray(eval_step(params, shard_batch(arrays, mesh)))[keep]
+        preds = logits.argmax(axis=-1)
+        qids = np.asarray(data["question_id"])[keep[: len(data["question_id"])]]
+        if jax.process_count() > 1:
+            preds = host_allgather_ragged(preds)
+            qids = host_allgather_ragged(qids)
+        for qid, pred in zip(qids, preds):
+            entry: Dict[str, Any] = {
+                "question_id": int(qid), "answer": int(pred)
+            }
+            if label2ans is not None:
+                entry["answer_text"] = label2ans[int(pred)]
+            results.append(entry)
+    return results
+
+
 def topk_retrieval(
     sims: np.ndarray,
     k: int = 10,

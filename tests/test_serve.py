@@ -216,6 +216,92 @@ def test_topk_retrieval():
     assert len(serve.topk_retrieval(sims, k=99)[0]["topk_indices"]) == 3
 
 
+def test_predict_qa_two_process_union():
+    """Offline QA prediction covers every question exactly once, in dataset
+    order, and the simulated 2-host union equals the single-process run."""
+    from demovlp_tpu.models import ObjectQARelation
+    from demovlp_tpu.train.steps import make_qa_eval_step
+
+    n, n_label = 19, 10
+    mesh = create_mesh()
+    model = ObjectQARelation(
+        object_num=K, num_frames=F, projection_dim=16, text_config=TINY_TEXT,
+        object_embed_dim=32, object_depth=2, object_heads=4,
+        num_label=n_label,
+    )
+    tok = SimpleTokenizer(max_length=100)
+
+    def qa_loader(process_index=0, process_count=1):
+        ds = dataset_object_loader(
+            "SyntheticObjectSelect",
+            text_params={},
+            object_params={
+                "num_frames": F, "object_num": K, "num_samples": n,
+                "task": "qa", "num_label": n_label,
+            },
+            split="test",
+        )
+        return RegionDataLoader(
+            ds, batch_size=BS, shuffle=False, num_workers=1, drop_last=False,
+            process_index=process_index, process_count=process_count,
+        )
+
+    dl = qa_loader()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {
+            "input_ids": np.zeros((BS, 100), np.int32),
+            "attention_mask": np.ones((BS, 100), np.int32),
+            "object": np.zeros((BS, F, K, 2054), np.float32),
+            "object_mask": np.ones((BS, F, K), np.float32),
+        },
+    )
+    step = make_qa_eval_step(model, mesh)
+    single = serve.predict_qa(
+        step, params, dl, tok, mesh, label2ans=dl.dataset.label2ans
+    )
+    assert [r["question_id"] for r in single] == list(range(n))
+    assert all(0 <= r["answer"] < n_label for r in single)
+    assert all(r["answer_text"] == f"ans{r['answer']}" for r in single)
+
+    merged = []
+    for p in range(2):
+        merged += serve.predict_qa(
+            step, params, qa_loader(p, 2), tok, mesh,
+            label2ans=dl.dataset.label2ans,
+        )
+    assert merged == single
+
+
+def test_predict_qa_cli(tmp_path, monkeypatch):
+    """scripts/predict_qa.py end-to-end on the shipped QA smoke config."""
+    cfg = json.loads(Path("configs/smoke/synthetic_qa.json").read_text())
+    cfg["trainer"]["save_dir"] = str(tmp_path / "exps")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    spec = importlib.util.spec_from_file_location(
+        "predict_qa", "scripts/predict_qa.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = tmp_path / "pred.json"
+    monkeypatch.setattr(
+        "sys.argv",
+        ["predict_qa.py", "-c", str(cfg_path), "--split", "test",
+         "--output", str(out)],
+    )
+    mod.main()
+    results = json.loads(out.read_text())
+    assert len(results) > 0
+    assert all(
+        set(r) == {"question_id", "answer", "answer_text"} for r in results
+    )
+    qids = [r["question_id"] for r in results]
+    assert qids == sorted(set(qids))  # full coverage, no duplicates
+
+
 def test_extract_embeddings_cli(tmp_path, monkeypatch):
     """scripts/extract_embeddings.py end-to-end on the shipped smoke config:
     writes an npz with all EMBED_KEYS + metadata and a top-k results JSON
