@@ -126,11 +126,17 @@ def build_optimizer(config: ConfigParser):
     return make_optimizer(lr=lr, **opt_args)
 
 
-def init_dataloaders(config: ConfigParser, val_split: str = "val") -> Tuple[List, List]:
+def init_dataloaders(
+    config: ConfigParser, val_split: str = "val", train: bool = True
+) -> Tuple[List, List]:
     """Train loaders from the config (list or single), and val loaders with
     the reference's swap rules (train_dist_multi.py:93-128): split->val,
-    CC3M subsampled to 1%, LSMDC MC gets split 'val' batch 1."""
-    train_loaders = config.initialize_list("data_loader")
+    CC3M subsampled to 1%, LSMDC MC gets split 'val' batch 1.
+
+    train=False skips train-loader construction entirely (no train-split
+    metadata reads, no CC3M subsampling) — the serving CLIs are forward-only
+    and only need the val side."""
+    train_loaders = config.initialize_list("data_loader") if train else []
 
     section = config["data_loader"]
     sections = section if isinstance(section, list) else [section]
@@ -152,15 +158,15 @@ def init_dataloaders(config: ConfigParser, val_split: str = "val") -> Tuple[List
     return train_loaders, val_loaders
 
 
-def load_pretrained_params(config: ConfigParser, state):
+def load_pretrained_into(config: ConfigParser, params):
     """arch.args.load_checkpoint transfer loading (reference model/model.py:
     49-62): a reference .pth is converted on the fly (incl. temporal-embed
     inflation per load_temporal_fix), an orbax dir is restored directly.
-    Params only; optimizer state stays fresh."""
+    Returns the (possibly replaced) params pytree."""
     args = config["arch"].get("args", {})
     ckpt = args.get("load_checkpoint", "")
     if not ckpt:
-        return state
+        return params
     from pathlib import Path
 
     path = Path(ckpt)
@@ -177,9 +183,53 @@ def load_pretrained_params(config: ConfigParser, state):
         import orbax.checkpoint as ocp
 
         target = path / "params" if (path / "params").exists() else path
-        params = ocp.StandardCheckpointer().restore(target.absolute(), state.params)
+        params = ocp.StandardCheckpointer().restore(target.absolute(), params)
     logger.info("Loaded pretrained params from %s", ckpt)
-    return state.replace(params=params)
+    return params
+
+
+def load_pretrained_params(config: ConfigParser, state):
+    """load_pretrained_into over a TrainState; optimizer state stays fresh."""
+    return state.replace(params=load_pretrained_into(config, state.params))
+
+
+def build_serving_params(config: ConfigParser, model, template, mesh,
+                         resume: str = ""):
+    """Params for a forward-only (serving) job.
+
+    Without a trainer-checkpoint resume, this never builds an optimizer or a
+    TrainState — half the parameter-memory footprint of create_train_state,
+    which also materializes Adam mu/nu. With `resume`, the full TrainState is
+    reconstructed as a restore template and only its params are kept."""
+    from pathlib import Path
+
+    import jax
+
+    from demovlp_tpu.train.checkpoint import CheckpointManager
+    from demovlp_tpu.train.state import create_train_state
+
+    if resume:
+        state = create_train_state(
+            model, build_optimizer(config), template, jax.random.PRNGKey(0),
+            mesh,
+        )
+        state = load_pretrained_params(config, state)
+        state, _ = CheckpointManager(Path(resume).parent).restore(resume, state)
+        return state.params
+    params = model.init(jax.random.PRNGKey(0), template)
+    params = load_pretrained_into(config, params)
+    from demovlp_tpu.parallel.mesh import replicated_sharding
+    from demovlp_tpu.parallel.tp import has_model_axis, shard_state
+
+    if mesh is not None:
+        if has_model_axis(mesh):
+            return shard_state(params, mesh)
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated_sharding(mesh))
+            if hasattr(x, "shape") else x,
+            params,
+        )
+    return params
 
 
 def build_writer(config: ConfigParser, experiment=None):

@@ -109,7 +109,7 @@ def combined_sims(
     *,
     use_local: bool = True,
     lambda_softmax: float = 20.0,
-    focal_type: str = "equal",
+    focal_type: str = "prob",
     segment: int = 64,
     backend: str = "auto",
     mscoco_dedup: bool = False,
@@ -123,7 +123,7 @@ def combined_sims(
             cat[key] = cat[key][::5]
     sims = np.asarray(sim_matrix(cat["g_t"], cat["g_o"]))
     if use_local:
-        sims = sims + sharded_local_sims(
+        local = sharded_local_sims(
             cat["l_o"],
             cat["l_t"],
             cat["o_mask"],
@@ -134,6 +134,12 @@ def combined_sims(
             focal_type=focal_type,
             backend=backend,
         )
+        # (video,text) — under MSCOCO dedup the matrix is non-square and the
+        # reference's quirk sum is undefined (it would raise at
+        # trainer_dist.py:385); transpose to (text,video) then. PARITY.md #16
+        if local.shape != sims.shape:
+            local = local.T
+        sims = sims + local
     return sims
 
 
@@ -152,7 +158,8 @@ def predict_qa(
     619-655) minus the metric scoring — the output feeds evaluate_qa or an
     application directly. `eval_step` comes from
     train.steps.make_qa_eval_step."""
-    results: List[Dict[str, Any]] = []
+    preds_l: List[np.ndarray] = []
+    qids_l: List[np.ndarray] = []
     for data in dl:
         arrays = prepare_batch(data, tokenizer)
         arrays.pop("label", None)
@@ -162,18 +169,25 @@ def predict_qa(
         if sample_valid is not None:
             keep[:n_valid] &= sample_valid.astype(bool)
         logits = np.asarray(eval_step(params, shard_batch(arrays, mesh)))[keep]
-        preds = logits.argmax(axis=-1)
-        qids = np.asarray(data["question_id"])[keep[: len(data["question_id"])]]
-        if jax.process_count() > 1:
-            preds = host_allgather_ragged(preds)
-            qids = host_allgather_ragged(qids)
-        for qid, pred in zip(qids, preds):
-            entry: Dict[str, Any] = {
-                "question_id": int(qid), "answer": int(pred)
-            }
-            if label2ans is not None:
-                entry["answer_text"] = label2ans[int(pred)]
-            results.append(entry)
+        preds_l.append(logits.argmax(axis=-1))
+        qids_l.append(
+            np.asarray(data["question_id"])[keep[: len(data["question_id"])]]
+        )
+    preds = (np.concatenate(preds_l) if preds_l
+             else np.zeros((0,), np.int64))
+    qids = np.concatenate(qids_l) if qids_l else np.zeros((0,), np.int64)
+    # gather ONCE after the loop (like embed_loader): host shards are
+    # contiguous in dataset order, so one ragged concat of whole shards
+    # preserves dataset order — a per-batch gather would interleave
+    if jax.process_count() > 1:
+        preds = host_allgather_ragged(preds)
+        qids = host_allgather_ragged(qids)
+    results: List[Dict[str, Any]] = []
+    for qid, pred in zip(qids, preds):
+        entry: Dict[str, Any] = {"question_id": int(qid), "answer": int(pred)}
+        if label2ans is not None:
+            entry["answer_text"] = label2ans[int(pred)]
+        results.append(entry)
     return results
 
 

@@ -47,15 +47,14 @@ def main() -> None:
     import numpy as np
 
     from demovlp_tpu import serve
-    from demovlp_tpu.cli.common import (build_mesh, build_model,
-                                        build_optimizer, build_tokenizer_from_config,
-                                        init_dataloaders, load_pretrained_params)
-    from demovlp_tpu.train.checkpoint import CheckpointManager
-    from demovlp_tpu.train.state import create_train_state
+    from demovlp_tpu.cli.common import (build_loss, build_mesh, build_model,
+                                        build_serving_params,
+                                        build_tokenizer_from_config,
+                                        init_dataloaders)
 
     mesh = build_mesh(config)
     tokenizer = build_tokenizer_from_config(config)
-    _, val_loaders = init_dataloaders(config, val_split=args.split)
+    _, val_loaders = init_dataloaders(config, val_split=args.split, train=False)
     model = build_model(config, mesh)
 
     dl = val_loaders[0]
@@ -70,21 +69,21 @@ def main() -> None:
             (dl.batch_size, ds.segments, ds.object_num), np.float32
         ),
     }
-    state = create_train_state(
-        model, build_optimizer(config), template, jax.random.PRNGKey(0), mesh
-    )
-    state = load_pretrained_params(config, state)
-    if args.resume:
-        state, _ = CheckpointManager(Path(args.resume).parent).restore(
-            args.resume, state
-        )
+    params = build_serving_params(config, model, template, mesh, args.resume)
 
     embed_step = serve.make_embed_step(model, mesh)
-    loss_args = config["loss"].get("args", {})
+    # score EXACTLY as the trainer does: build the loss object and read the
+    # local-loss knobs off it (train/retrieval.py uses
+    # self.loss.local_loss.{lambda_softmax,focal_type}) — a config omitting
+    # loss.args.focal_type must serve with the loss-class default ('prob')
+    loss = build_loss(config)
+    local_loss = getattr(loss, "local_loss", None)
+    use_local = bool(getattr(loss, "use_local", False)) and local_loss is not None
+    mscoco_dedup = str(config["name"]).startswith("MSCOCO")
     out_path = Path(args.output)
     for dl_idx, dl in enumerate(val_loaders):
         cat, meta = serve.embed_loader(
-            embed_step, state.params, dl, tokenizer, mesh
+            embed_step, params, dl, tokenizer, mesh
         )
         if jax.process_index() == 0:
             path = (
@@ -103,16 +102,27 @@ def main() -> None:
             sims = serve.combined_sims(
                 cat,
                 mesh,
-                use_local=loss_args.get("use_local", True),
-                lambda_softmax=float(loss_args.get("lambda_softmax", 20.0)),
-                focal_type=loss_args.get("focal_type", "equal"),
+                use_local=use_local,
+                lambda_softmax=float(
+                    getattr(local_loss, "lambda_softmax", 20.0)
+                ),
+                focal_type=getattr(local_loss, "focal_type", "prob"),
                 segment=int(config.get("eval", {}).get("local_sim_segment", 64)),
                 backend=config.get("eval", {}).get("xattn_backend", "auto"),
-                mscoco_dedup=str(config["name"]).startswith("MSCOCO"),
+                mscoco_dedup=mscoco_dedup,
+            )
+            # under MSCOCO dedup the sims columns index the every-5th-row
+            # gallery (trainer/trainer_dist.py:365-368): dedupe the gallery
+            # metadata to match, then map indices back to saved-npz rows
+            gallery_meta = (
+                {k: v[::5] for k, v in meta.items()} if mscoco_dedup else meta
             )
             results = serve.topk_retrieval(
-                sims, k=args.topk, query_meta=meta, gallery_meta=meta
+                sims, k=args.topk, query_meta=meta, gallery_meta=gallery_meta
             )
+            if mscoco_dedup:
+                for r in results:
+                    r["topk_indices"] = [5 * i for i in r["topk_indices"]]
             if args.results and jax.process_index() == 0:
                 rp = Path(args.results)
                 if len(val_loaders) > 1:

@@ -41,15 +41,14 @@ def main() -> None:
 
     from demovlp_tpu import serve
     from demovlp_tpu.cli.common import (build_mesh, build_model,
-                                        build_optimizer, build_tokenizer_from_config,
-                                        init_dataloaders, load_pretrained_params)
-    from demovlp_tpu.train.checkpoint import CheckpointManager
-    from demovlp_tpu.train.state import create_train_state
+                                        build_serving_params,
+                                        build_tokenizer_from_config,
+                                        init_dataloaders)
     from demovlp_tpu.train.steps import make_qa_eval_step
 
     mesh = build_mesh(config)
     tokenizer = build_tokenizer_from_config(config)
-    _, val_loaders = init_dataloaders(config, val_split=args.split)
+    _, val_loaders = init_dataloaders(config, val_split=args.split, train=False)
     model = build_model(config, mesh)
 
     dl = val_loaders[0]
@@ -64,20 +63,13 @@ def main() -> None:
             (dl.batch_size, ds.segments, ds.object_num), np.float32
         ),
     }
-    state = create_train_state(
-        model, build_optimizer(config), template, jax.random.PRNGKey(0), mesh
-    )
-    state = load_pretrained_params(config, state)
-    if args.resume:
-        state, _ = CheckpointManager(Path(args.resume).parent).restore(
-            args.resume, state
-        )
+    params = build_serving_params(config, model, template, mesh, args.resume)
 
     eval_step = make_qa_eval_step(model, mesh)
     out_path = Path(args.output)
     for dl_idx, dl in enumerate(val_loaders):
         results = serve.predict_qa(
-            eval_step, state.params, dl, tokenizer, mesh,
+            eval_step, params, dl, tokenizer, mesh,
             label2ans=getattr(dl.dataset, "label2ans", None),
         )
         if jax.process_index() == 0:

@@ -179,7 +179,7 @@ def test_combined_sims_quirk_and_dedup():
     from demovlp_tpu.ops.similarity import sim_matrix
     from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
 
-    got = serve.combined_sims(cat, mesh, backend="xla")
+    got = serve.combined_sims(cat, mesh, backend="xla", focal_type="equal")
     want = np.asarray(sim_matrix(cat["g_t"], cat["g_o"])) + sharded_local_sims(
         cat["l_o"], cat["l_t"], cat["o_mask"], cat["t_mask"], mesh,
         segment=64, lambda_softmax=20.0, focal_type="equal", backend="xla",
@@ -300,6 +300,60 @@ def test_predict_qa_cli(tmp_path, monkeypatch):
     )
     qids = [r["question_id"] for r in results]
     assert qids == sorted(set(qids))  # full coverage, no duplicates
+
+
+def test_combined_sims_default_matches_loss_default():
+    """serve.combined_sims' focal_type default must equal the loss-class
+    default ('prob', losses/losses.py + reference model/loss.py:15): a
+    config omitting loss.args.focal_type trains AND serves with the same
+    relevance indicator."""
+    import inspect
+
+    default = inspect.signature(serve.combined_sims).parameters[
+        "focal_type"
+    ].default
+    assert default == GlobalLocalLoss().focal_type == "prob"
+
+
+def test_extract_embeddings_cli_mscoco_dedup(tmp_path, monkeypatch):
+    """Under the MSCOCO every-5th-row gallery dedup, topk_paths must come
+    from the DEDUPED gallery (paths[5*i], not paths[i]) and topk_indices
+    must be mapped back to saved-npz row coordinates (multiples of 5)."""
+    cfg = json.loads(
+        Path("configs/smoke/synthetic_retrieval.json").read_text()
+    )
+    cfg["name"] = "MSCOCO_smoke"
+    cfg["trainer"]["save_dir"] = str(tmp_path / "exps")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    spec = importlib.util.spec_from_file_location(
+        "extract_embeddings", "scripts/extract_embeddings.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = tmp_path / "emb.npz"
+    res = tmp_path / "results.json"
+    monkeypatch.setattr(
+        "sys.argv",
+        [
+            "extract_embeddings.py", "-c", str(cfg_path), "--split", "test",
+            "--output", str(out), "--topk", "2", "--results", str(res),
+        ],
+    )
+    mod.main()
+
+    data = np.load(out, allow_pickle=False)
+    n = data["g_t"].shape[0]
+    paths = [str(p) for p in data["paths"]]
+    results = json.loads(res.read_text())
+    assert len(results) == n  # queries stay undeduped
+    for r in results:
+        # indices are in SAVED-npz coordinates: multiples of 5, in range
+        assert all(i % 5 == 0 and 0 <= i < n for i in r["topk_indices"])
+        # and the attached paths are the deduped-gallery rows they index
+        assert r["topk_paths"] == [paths[i] for i in r["topk_indices"]]
 
 
 def test_extract_embeddings_cli(tmp_path, monkeypatch):
