@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import inspect
 import logging
+import os
 from datetime import datetime
 from pathlib import Path
 from typing import Any, Dict, Optional, Sequence
@@ -84,7 +85,16 @@ class ConfigParser:
                     _set_by_path(self._config, target, value)
 
         save_root = Path(self._config.get("trainer", {}).get("save_dir", "exps"))
-        stamp = datetime.now().strftime(r"%m%d_%H%M%S") if timestamp else ""
+        # DEMOVLP_RUN_ID pins the run-dir stamp; multi-process launches MUST
+        # set it (one shared value, like torchrun's env rendezvous) so every
+        # process checkpoints into the SAME timestamped dir — per-process
+        # datetime.now() can straddle a second boundary
+        if timestamp:
+            stamp = os.environ.get("DEMOVLP_RUN_ID", "") or datetime.now().strftime(
+                r"%m%d_%H%M%S"
+            )
+        else:
+            stamp = ""
         exper_name = self._config.get("name", "exp")
         self._save_dir = save_root / "models" / exper_name / stamp
         self._web_log_dir = save_root / "web" / exper_name / stamp

@@ -68,11 +68,51 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device_put each array leaf with its batch axis split over 'data'."""
+    """Device_put each array leaf with its batch axis split over 'data'.
+
+    Multi-process semantics (the reference's per-GPU batch contract,
+    base/base_data_loader.py): each host passes ITS loader shard and the
+    GLOBAL batch is the process-order concatenation — global batch size =
+    process_count x per-host batch size. Single-process device_put keeps
+    the old identity (host batch == global batch)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def fetch_local_rows(x) -> np.ndarray:
+    """This process's own rows of a 'data'-sharded global array, in global
+    row order — the inverse of shard_batch's multi-process assembly: host p
+    gets back exactly the rows it fed in. Single-process: plain np.asarray
+    (the whole array). Model-axis replicas of the same row block are
+    deduplicated by their global row offset."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    by_start = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = s.data
+    return np.concatenate(
+        [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0
+    )
+
+
+def sync_processes(name: str) -> None:
+    """Barrier across processes (no-op single-process)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def host_allgather(x):

@@ -39,7 +39,7 @@ def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=8)
 def _chunk_fn(
     mesh: Mesh, backend: str, segment: int, cap_segment: int,
-    lambda_softmax: float, focal_type: str,
+    lambda_softmax: float, focal_type: str, replicate_out: bool = False,
 ):
     """One jitted shard_map'ed gallery-chunk computation, shared across
     chunks and eval calls (keyed on the static config; jit's own cache
@@ -71,7 +71,12 @@ def _chunk_fn(
             NamedSharding(mesh, P(DATA_AXIS)),
             NamedSharding(mesh, P()),
         ),
-        out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+        # multi-process: replicate the output (one XLA all_gather over the
+        # data axis) so every host can fetch the full matrix — a sharded
+        # global array's remote rows are not host-addressable
+        out_shardings=NamedSharding(
+            mesh, P() if replicate_out else P(DATA_AXIS)
+        ),
     )
     def compute(imgs, langs, imasks, lmasks):
         fn = jax.shard_map(
@@ -180,7 +185,8 @@ def sharded_local_sims(
     total = per_dev * n_dev
 
     fn = _chunk_fn(
-        mesh, backend, segment, cap_segment, float(lambda_softmax), focal_type
+        mesh, backend, segment, cap_segment, float(lambda_softmax), focal_type,
+        replicate_out=jax.process_count() > 1,
     )
 
     # captions to device ONCE, reused by every chunk

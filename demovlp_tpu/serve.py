@@ -28,7 +28,8 @@ import numpy as np
 
 from demovlp_tpu.ops.masking import additive_mask
 from demovlp_tpu.ops.similarity import sim_matrix
-from demovlp_tpu.parallel.mesh import (batch_sharding, host_allgather_pylist,
+from demovlp_tpu.parallel.mesh import (batch_sharding, fetch_local_rows,
+                                        host_allgather_pylist,
                                         host_allgather_ragged,
                                         replicated_sharding, shard_batch)
 from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
@@ -87,13 +88,19 @@ def embed_loader(
                 paths.append(str(m.get("paths", "")))
                 captions.append(str(m.get("raw_captions", "")))
         out = embed_step(params, shard_batch(arrays, mesh))
-        arrs["g_t"].append(np.asarray(out["global_text_embeddings"])[keep])
-        arrs["g_o"].append(np.asarray(out["global_object_embeddings"])[keep])
-        arrs["l_t"].append(np.asarray(out["local_text_embeddings"])[keep])
-        arrs["l_o"].append(np.asarray(out["local_object_embeddings"])[keep])
-        arrs["o_mask"].append(np.asarray(out["object_mask"])[keep])
-        arrs["t_mask"].append(np.asarray(out["text_mask_add"])[keep])
-        arrs["t_len"].append(np.asarray(out["text_length"])[keep])
+        # outputs are 'data'-sharded over the GLOBAL mesh: keep this host's
+        # own rows; the ragged gather below reassembles dataset order
+        arrs["g_t"].append(fetch_local_rows(out["global_text_embeddings"])[keep])
+        arrs["g_o"].append(
+            fetch_local_rows(out["global_object_embeddings"])[keep]
+        )
+        arrs["l_t"].append(fetch_local_rows(out["local_text_embeddings"])[keep])
+        arrs["l_o"].append(
+            fetch_local_rows(out["local_object_embeddings"])[keep]
+        )
+        arrs["o_mask"].append(fetch_local_rows(out["object_mask"])[keep])
+        arrs["t_mask"].append(fetch_local_rows(out["text_mask_add"])[keep])
+        arrs["t_len"].append(fetch_local_rows(out["text_length"])[keep])
     cat = {k: np.concatenate(v, axis=0) for k, v in arrs.items()}
     cat = {k: host_allgather_ragged(v) for k, v in cat.items()}
     meta = {
@@ -168,7 +175,7 @@ def predict_qa(
         keep = np.arange(dl.batch_size) < n_valid
         if sample_valid is not None:
             keep[:n_valid] &= sample_valid.astype(bool)
-        logits = np.asarray(eval_step(params, shard_batch(arrays, mesh)))[keep]
+        logits = fetch_local_rows(eval_step(params, shard_batch(arrays, mesh)))[keep]
         preds_l.append(logits.argmax(axis=-1))
         qids_l.append(
             np.asarray(data["question_id"])[keep[: len(data["question_id"])]]

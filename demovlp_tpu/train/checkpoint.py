@@ -35,11 +35,18 @@ class CheckpointManager:
         return self.save_dir / f"checkpoint-epoch{epoch}"
 
     def save(self, state, epoch: int, monitor_best: float, save_best: bool = False):
+        from demovlp_tpu.parallel.mesh import sync_processes
+
         path = self._path(epoch)
-        if path.exists():
+        # stale-dir removal is process-0's job (shared filesystem); the
+        # barrier keeps other processes from starting the coordinated orbax
+        # save into a directory that is mid-removal
+        if jax.process_index() == 0 and path.exists():
             shutil.rmtree(path)
+        sync_processes(f"ckpt_clear_epoch{epoch}")
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
+        sync_processes(f"ckpt_saved_epoch{epoch}")
         if jax.process_index() == 0:
             meta = {
                 "arch": self.arch,

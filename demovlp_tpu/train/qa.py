@@ -152,6 +152,7 @@ class QATrainer(BaseTrainer):
         res_dict: Dict[str, Any] = {}
         for dl_idx, dl in enumerate(self.valid_data_loader):
             results = []
+            preds_l, qids_l = [], []
             for data in dl:
                 arrays = prepare_batch(data, self.tokenizer)
                 arrays.pop("label", None)
@@ -163,27 +164,33 @@ class QATrainer(BaseTrainer):
                 if sample_valid is not None:
                     keep[:n_valid] &= sample_valid.astype(bool)
                 arrays = shard_batch(arrays, self.mesh)
-                logits = np.asarray(self._eval_step(params, arrays))[keep]
-                preds = logits.argmax(axis=-1)
-                if jax.process_count() > 1:
-                    from demovlp_tpu.parallel.mesh import host_allgather_ragged
+                # logits are 'data'-sharded over the GLOBAL mesh: keep this
+                # host's own rows; one gather after the loop reassembles
+                # dataset order (host shards are contiguous)
+                from demovlp_tpu.parallel.mesh import fetch_local_rows
 
-                    preds = host_allgather_ragged(preds)
-                    qids = host_allgather_ragged(
-                        np.asarray(data["question_id"])[keep[: len(data["question_id"])]]
+                logits = fetch_local_rows(self._eval_step(params, arrays))[keep]
+                preds_l.append(logits.argmax(axis=-1))
+                qids_l.append(
+                    np.asarray(data["question_id"])[keep[: len(data["question_id"])]]
+                )
+            preds = (np.concatenate(preds_l) if preds_l
+                     else np.zeros((0,), np.int64))
+            qids = (np.concatenate(qids_l) if qids_l
+                    else np.zeros((0,), np.int64))
+            if jax.process_count() > 1:
+                from demovlp_tpu.parallel.mesh import host_allgather_ragged
+
+                preds = host_allgather_ragged(preds)
+                qids = host_allgather_ragged(qids)
+            for qid, pred in zip(qids, preds):
+                results.append(
+                    dict(
+                        question_id=int(qid),
+                        answer=int(pred),
+                        data=self.valid_qid2data[dl_idx][int(qid)],
                     )
-                else:
-                    qids = np.asarray(data["question_id"])[
-                        keep[: len(data["question_id"])]
-                    ]
-                for qid, pred in zip(qids, preds):
-                    results.append(
-                        dict(
-                            question_id=int(qid),
-                            answer=int(pred),
-                            data=self.valid_qid2data[dl_idx][int(qid)],
-                        )
-                    )
+                )
             if jax.process_index() == 0:
                 print(f"Get {len(results)} results.")
             dl_metrics: Dict[str, Any] = {}

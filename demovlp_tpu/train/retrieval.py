@@ -24,7 +24,8 @@ import numpy as np
 
 from demovlp_tpu.parallel.tp import state_shardings_or_none
 from demovlp_tpu.utils.prng import fast_prng_key
-from demovlp_tpu.parallel.mesh import (host_allgather_pylist,
+from demovlp_tpu.parallel.mesh import (fetch_local_rows,
+                                        host_allgather_pylist,
                                         host_allgather_ragged, shard_batch)
 from demovlp_tpu.parallel.sharded_eval import sharded_local_sims
 from demovlp_tpu.ops.similarity import sim_matrix
@@ -235,17 +236,24 @@ class RetrievalTrainer(BaseTrainer):
                 out, (loss, g, l) = self._eval_step(params, arrays)
                 total_val_loss += float(loss)
                 n_batches += 1
-                arrs["g_t"].append(np.asarray(out["global_text_embeddings"])[keep])
+                # outputs are 'data'-sharded over the GLOBAL mesh; each host
+                # keeps its own rows (the ones it fed in) — the per-split
+                # ragged gather below reassembles dataset order
+                arrs["g_t"].append(
+                    fetch_local_rows(out["global_text_embeddings"])[keep]
+                )
                 arrs["g_o"].append(
-                    np.asarray(out["global_object_embeddings"])[keep]
+                    fetch_local_rows(out["global_object_embeddings"])[keep]
                 )
-                arrs["l_t"].append(np.asarray(out["local_text_embeddings"])[keep])
+                arrs["l_t"].append(
+                    fetch_local_rows(out["local_text_embeddings"])[keep]
+                )
                 arrs["l_o"].append(
-                    np.asarray(out["local_object_embeddings"])[keep]
+                    fetch_local_rows(out["local_object_embeddings"])[keep]
                 )
-                arrs["o_mask"].append(np.asarray(out["object_mask"])[keep])
-                arrs["t_mask"].append(np.asarray(out["text_mask_add"])[keep])
-                arrs["t_len"].append(np.asarray(out["text_length"])[keep])
+                arrs["o_mask"].append(fetch_local_rows(out["object_mask"])[keep])
+                arrs["t_mask"].append(fetch_local_rows(out["text_mask_add"])[keep])
+                arrs["t_len"].append(fetch_local_rows(out["text_length"])[keep])
 
             cat = {k: np.concatenate(v, axis=0) for k, v in arrs.items()}
             # multi-host: each host embedded its contiguous loader shard;
