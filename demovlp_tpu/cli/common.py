@@ -88,6 +88,16 @@ def build_model(config: ConfigParser, mesh=None):
     # region-tower attention form: "xla" (grouped) | "dense" (masked full
     # attention — same math, fewer layout ops at multi-frame shapes)
     if obj_p.get("attn_impl"):
+        if obj_p["attn_impl"] == "pallas":
+            # retired config value: the prototype kernel never ran on
+            # compiled TPU (Mosaic lowering failure at f=1/k=30) and
+            # measured no win over XLA in interpret mode — reject at build
+            # time instead of shipping a knob whose only behavior is raise
+            raise ValueError(
+                "object_params.attn_impl='pallas' was removed; the kernel "
+                "remains a test-only artifact (ops/pallas_attention.py). "
+                "Use 'dense' (default) or 'xla'."
+            )
         kwargs["attn_impl"] = obj_p["attn_impl"]
     if config.get("remat"):
         kwargs["remat"] = True

@@ -22,8 +22,10 @@ TPU-native design notes: the einops-rearrange gymnastics of the reference
 become static reshapes/transposes on (B, heads, groups, len, head_dim)
 blocks; every attention is a batched MXU matmul with additive-bias masking,
 fused by XLA. Sequence lengths are tiny (<=241), so the win is batching, not
-flash-attention. Attention can optionally route through the Pallas fused
-kernel (ops/pallas_attention.py) via `attn_impl='pallas'`.
+flash-attention. (A Pallas grouped-attention prototype lives in
+ops/pallas_attention.py as a measurement/test artifact only — it measured
+no win over XLA at these shapes and its compiled Mosaic lowering fails at
+the flagship f=1/k=30 shape, so it is not a model option.)
 """
 from __future__ import annotations
 
@@ -99,19 +101,19 @@ class VarAttention(nn.Module):
     # throughput at the f=8 fine-tune envelope on v5e (460 vs 379 pairs/s,
     # BENCH_NOTES round 3). "xla": grouped batched matmuls (identical
     # outputs; at single-group shapes both take the same fast path).
-    # "pallas": interpret-mode prototype kernel (guarded on compiled TPU).
     attn_impl: str = "dense"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, add_mask, mode: str, frames: int, patches: int):
         assert mode in ("space", "time")
-        if self.attn_impl not in ("xla", "dense", "pallas"):
+        if self.attn_impl not in ("xla", "dense"):
             # unknown values must not silently run the default path (a
-            # config typo like "desne" would otherwise benchmark xla)
+            # config typo like "desne" would otherwise benchmark xla);
+            # 'pallas' was retired: no hardware config could ever run it
             raise ValueError(
                 f"unknown attn_impl {self.attn_impl!r}; "
-                "expected 'xla', 'dense' or 'pallas'"
+                "expected 'xla' or 'dense'"
             )
         B, N1, D = x.shape
         F, K = frames, patches
@@ -156,7 +158,7 @@ class VarAttention(nn.Module):
         single_group = (mode == "space" and F == 1) or (
             mode == "time" and K == 1
         )
-        if single_group and self.attn_impl != "pallas":
+        if single_group:
             out = _grouped_attention(
                 q, k, v, mask[:, None, None, :]
             )  # (B,N1,h,hd)
@@ -210,35 +212,9 @@ class VarAttention(nn.Module):
         vg = jnp.concatenate([cls_v, vg], axis=2)
         mg = jnp.concatenate([cls_m, m_g], axis=2)  # (B,G,1+L)
 
-        if self.attn_impl == "pallas":
-            if jax.default_backend() == "tpu":
-                # compiled Mosaic lowering of the batched-dot kernel fails at
-                # the flagship f=1/k=30 shape on real v5e ("limits[i] <=
-                # dim(i)"); XLA is near-peak at these tiny grouped shapes
-                # anyway (BENCH_NOTES round 2). Fail at trace time with a
-                # clear message instead of crashing the chip; the kernel
-                # stays exercised by the CPU/interpret tests.
-                raise ValueError(
-                    "attn_impl='pallas' is an interpret-mode prototype and is "
-                    "not supported on compiled TPU (known Mosaic batched-dot "
-                    "lowering failure at f=1/k=30; measured no win over XLA "
-                    "at these shapes). Use attn_impl='xla'."
-                )
-            from demovlp_tpu.ops.pallas_attention import grouped_attention_fused
-
-            # the prototype kernel wants head-major (gt, L, hd) tiles
-            gt = B * h * G
-            bias = jnp.broadcast_to(mg[:, None, :, :], (B, h, G, 1 + L))
-            out = grouped_attention_fused(
-                qg.transpose(0, 3, 1, 2, 4).reshape(gt, L, hd),
-                kg.transpose(0, 3, 1, 2, 4).reshape(gt, 1 + L, hd),
-                vg.transpose(0, 3, 1, 2, 4).reshape(gt, 1 + L, hd),
-                bias.reshape(gt, 1 + L),
-            ).reshape(B, h, G, L, hd).transpose(0, 2, 3, 1, 4)  # (B,G,L,h,hd)
-        else:
-            out = _grouped_attention(
-                qg, kg, vg, mg[:, :, None, None, :]
-            )  # (B,G,L,h,hd)
+        out = _grouped_attention(
+            qg, kg, vg, mg[:, :, None, None, :]
+        )  # (B,G,L,h,hd)
 
         if mode == "time":
             out = out.transpose(0, 2, 1, 3, 4)  # (B,F,K,h,hd)

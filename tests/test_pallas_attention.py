@@ -1,5 +1,10 @@
-"""Fused grouped-attention kernel vs XLA (interpreter mode), plus model-level
-attn_impl equivalence."""
+"""Fused grouped-attention kernel vs XLA (interpreter mode).
+
+The kernel (ops/pallas_attention.py) is a TEST-ONLY measurement artifact:
+`attn_impl='pallas'` was removed from the model/config surface (it never
+ran on compiled TPU and measured no win over XLA at the tower's tiny
+grouped shapes), so these tests pin the kernel itself plus the build-time
+rejection of the retired config value."""
 import numpy as np
 import pytest
 
@@ -37,23 +42,35 @@ def test_grouped_attention_fully_masked_group():
     assert np.isfinite(got).all()
 
 
-def test_model_attn_impl_equivalence_interpret():
-    """ObjectTransformer forward identical under attn_impl xla/pallas
-    (interpret mode via force_tpu_interpret_mode)."""
-    from jax.experimental.pallas import tpu as pltpu
-
+def test_model_rejects_retired_pallas_value():
+    """The retired 'pallas' value fails loudly at trace time (model level)
+    and at build time (config level) — no config value may exist whose only
+    hardware behavior is a crash."""
     from demovlp_tpu.models import ObjectTransformer
 
-    x = jnp.array(np.random.RandomState(0).randn(2, 2, 4, 2054), jnp.float32)
-    mask = jnp.ones((2, 2, 4))
-    kw = dict(region_nums=4, num_frames=2, output_dim=16,
-              embed_dim=32, depth=1, num_heads=2)
-    m_xla = ObjectTransformer(**kw, attn_impl="xla")
-    m_pal = ObjectTransformer(**kw, attn_impl="pallas")
-    params = m_xla.init(jax.random.PRNGKey(0), x, mask)
-    y_xla, _ = m_xla.apply(params, x, mask)
-    with pltpu.force_tpu_interpret_mode():
-        y_pal, _ = m_pal.apply(params, x, mask)
-    np.testing.assert_allclose(
-        np.asarray(y_pal), np.asarray(y_xla), rtol=1e-4, atol=1e-5
+    x = jnp.array(np.random.RandomState(0).randn(1, 1, 4, 2054), jnp.float32)
+    mask = jnp.ones((1, 1, 4))
+    m = ObjectTransformer(region_nums=4, num_frames=1, output_dim=16,
+                          embed_dim=32, depth=1, num_heads=2,
+                          attn_impl="pallas")
+    with pytest.raises(ValueError, match="unknown attn_impl"):
+        m.init(jax.random.PRNGKey(0), x, mask)
+
+
+def test_build_model_rejects_retired_pallas_value(tmp_path):
+    import json
+
+    from demovlp_tpu.cli.common import build_model
+    from demovlp_tpu.config import ConfigParser, build_argparser
+
+    repo = __import__("pathlib").Path(__file__).resolve().parent.parent
+    cfg = json.loads(
+        (repo / "configs" / "smoke" / "synthetic_retrieval.json").read_text()
     )
+    cfg["arch"]["args"]["object_params"]["attn_impl"] = "pallas"
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    args = build_argparser().parse_args(["-c", str(p)])
+    config = ConfigParser(args, timestamp=False)
+    with pytest.raises(ValueError, match="was removed"):
+        build_model(config)
