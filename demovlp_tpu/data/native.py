@@ -106,13 +106,18 @@ class NativeRegionReader:
 
 
 def get_native_reader() -> Optional[NativeRegionReader]:
-    """Singleton native reader, or None if it can't be built/loaded."""
+    """Singleton native reader, or None if it can't be built/loaded.
+    DEMOVLP_NATIVE_LIB points at a prebuilt .so (e.g. the sanitized build
+    used by scripts/asan_check_native.py) instead of the standard one."""
     global _reader, _reader_failed
     if _reader is not None:
         return _reader
     if _reader_failed:
         return None
-    lib = build_library()
+    override = os.environ.get("DEMOVLP_NATIVE_LIB")
+    lib = Path(override) if override else build_library()
+    if lib is not None and not Path(lib).exists():
+        lib = None
     if lib is None:
         _reader_failed = True
         return None

@@ -71,7 +71,7 @@ static uint32_t rd32(const uint8_t* p) { uint32_t v; memcpy(&v, p, 4); return v;
 struct ZipEntry {
   std::string name;
   uint16_t method;
-  uint32_t comp_size, uncomp_size, local_off;
+  uint32_t crc32, comp_size, uncomp_size, local_off;
 };
 
 static int zip_entries(const Bytes& b, std::vector<ZipEntry>* out) {
@@ -90,15 +90,20 @@ static int zip_entries(const Bytes& b, std::vector<ZipEntry>* out) {
     if (p + 46 > b.n() || rd32(b.p() + p) != 0x02014b50) return E_ZIP;
     ZipEntry e;
     e.method = rd16(b.p() + p + 10);
+    e.crc32 = rd32(b.p() + p + 16);
     e.comp_size = rd32(b.p() + p + 20);
     e.uncomp_size = rd32(b.p() + p + 24);
     uint16_t name_len = rd16(b.p() + p + 28);
     uint16_t extra_len = rd16(b.p() + p + 30);
     uint16_t comment_len = rd16(b.p() + p + 32);
     e.local_off = rd32(b.p() + p + 42);
+    // the variable-length fields must fit in the buffer BEFORE the name is
+    // copied — a corrupt name_len would otherwise read past the allocation
+    if (p + 46 + (size_t)name_len + extra_len + comment_len > b.n())
+      return E_ZIP;
     e.name.assign((const char*)b.p() + p + 46, name_len);
     out->push_back(e);
-    p += 46 + name_len + extra_len + comment_len;
+    p += 46 + (size_t)name_len + extra_len + comment_len;
   }
   return OK;
 }
@@ -112,9 +117,17 @@ static int zip_extract(const Bytes& b, const ZipEntry& e, Bytes* out) {
   if (data_off + e.comp_size > b.n()) return E_ZIP;
   if (e.method == 0) {
     out->data.assign(b.p() + data_off, b.p() + data_off + e.comp_size);
+    // integrity parity with the np.load fallback: python's zipfile
+    // validates member CRCs, so silent bit-rot must fail here too
+    if (::crc32(0, out->p(), (uInt)out->n()) != e.crc32) return E_ZIP;
     return OK;
   }
   if (e.method == 8) {
+    // uncomp_size is attacker-controlled; real frame npz members are a few
+    // MB, so a multi-GiB claim is corruption, not data — reject instead of
+    // attempting the allocation (bad_alloc in a worker thread would
+    // std::terminate the process)
+    if (e.uncomp_size > (256u << 20)) return E_ZIP;
     out->data.resize(e.uncomp_size);
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
@@ -125,7 +138,9 @@ static int zip_extract(const Bytes& b, const ZipEntry& e, Bytes* out) {
     zs.avail_out = e.uncomp_size;
     int rc = inflate(&zs, Z_FINISH);
     inflateEnd(&zs);
-    return (rc == Z_STREAM_END) ? OK : E_ZIP;
+    if (rc != Z_STREAM_END) return E_ZIP;
+    if (::crc32(0, out->p(), (uInt)out->n()) != e.crc32) return E_ZIP;
+    return OK;
   }
   return E_ZIP;
 }
@@ -147,9 +162,14 @@ struct NpyArray {
 static int npy_parse(const Bytes& b, NpyArray* out) {
   if (b.n() < 10 || memcmp(b.p(), "\x93NUMPY", 6) != 0) return E_NPY;
   uint8_t major = b.p()[6];
+  if (major < 1 || major > 3) return E_NPY;
   size_t hlen, hoff;
   if (major == 1) { hlen = rd16(b.p() + 8); hoff = 10; }
-  else { hlen = rd32(b.p() + 8); hoff = 12; }
+  else {
+    // v2/v3 headers carry a 4-byte length at offset 8: need 12 bytes
+    if (b.n() < 12) return E_NPY;
+    hlen = rd32(b.p() + 8); hoff = 12;
+  }
   if (hoff + hlen > b.n()) return E_NPY;
   std::string h((const char*)b.p() + hoff, hlen);
   // descr: the quoted value after 'descr':
@@ -174,10 +194,26 @@ static int npy_parse(const Bytes& b, NpyArray* out) {
   while (*s) {
     while (*s == ' ' || *s == ',') ++s;
     if (!*s) break;
-    out->shape.push_back(strtoll(s, (char**)&s, 10));
+    int64_t dim = strtoll(s, (char**)&s, 10);
+    // corrupt headers can claim negative or absurd dims; the element count
+    // can never exceed the payload byte count (>=1 byte/elem), so bound
+    // each dim by the buffer size before any product/alloc sees it
+    if (dim < 0 || (uint64_t)dim > b.n()) return E_NPY;
+    out->shape.push_back(dim);
   }
   out->data = b.p() + hoff + hlen;
   out->nbytes = b.n() - hoff - hlen;
+  // reject overflowing / over-claiming element counts here so every
+  // downstream numel()-sized allocation is bounded by the actual payload
+  int64_t numel = 1;
+  for (auto d : out->shape) {
+    if (d != 0 && numel > (int64_t)(b.n() / (size_t)d) + 1) return E_NPY;
+    numel *= d;
+  }
+  // object arrays ('|O') carry a pickle stream, not numel*itemsize bytes
+  if (numel < 0 || (out->descr.find('O') == std::string::npos &&
+                    (uint64_t)numel > out->nbytes))
+    return E_NPY;
   return OK;
 }
 
@@ -240,6 +276,9 @@ struct Unpickler {
   std::vector<PPtr> stack;
   std::vector<size_t> marks;
   std::vector<PPtr> memo;
+  // set by pop()/top() on stack underflow (adversarial streams pop more
+  // than they pushed); run() checks it after every opcode
+  bool bad = false;
 
   bool have(size_t k) const { return pos + k <= n; }
   uint8_t u8() { return p[pos++]; }
@@ -249,11 +288,22 @@ struct Unpickler {
   uint64_t u64() { uint64_t v; memcpy(&v, p + pos, 8); pos += 8; return v; }
 
   void memo_put(PPtr v, size_t idx) {
+    // LONG_BINPUT indices are attacker-controlled u32s: a sparse 4-billion
+    // slot would allocate GBs — cap the memo table, it only needs as many
+    // slots as values pushed so far
+    if (idx > stack.size() + memo.size() + 1024) { bad = true; return; }
     if (memo.size() <= idx) memo.resize(idx + 1);
     memo[idx] = v;
   }
 
-  PPtr pop() { PPtr v = stack.back(); stack.pop_back(); return v; }
+  PPtr pop() {
+    if (stack.empty()) { bad = true; return mk(PValue::NONE); }
+    PPtr v = stack.back(); stack.pop_back(); return v;
+  }
+  PPtr top() {
+    if (stack.empty()) { bad = true; return mk(PValue::NONE); }
+    return stack.back();
+  }
 
   // REDUCE: callable(args) — we only model numpy's constructors
   PPtr reduce(PPtr callable, PPtr args) {
@@ -294,14 +344,15 @@ struct Unpickler {
   // BUILD: obj.__setstate__(state)
   void build() {
     PPtr state = pop();
-    PPtr obj = stack.back();
+    PPtr obj = top();
+    if (bad) return;
     if (obj->kind == PValue::NDARRAY && state->kind == PValue::TUPLE &&
         state->items.size() >= 5) {
       // (version, shape, dtype, fortran, data)
       auto& shp = state->items[1];
       auto& dt = state->items[2];
       auto& data = state->items[4];
-      for (auto& e : shp->items) obj->shape.push_back(e->i);
+      for (auto& e : shp->items) if (e) obj->shape.push_back(e->i);
       if (dt->kind == PValue::DTYPE) obj->descr = dt->s;
       if (data->kind == PValue::BYTES) obj->bytes = data->bytes;
       else if (data->kind == PValue::LIST) {
@@ -400,6 +451,7 @@ struct Unpickler {
         case 't': { // TUPLE (from MARK)
           if (marks.empty()) return E_PICKLE;
           size_t m = marks.back(); marks.pop_back();
+          if (m > stack.size()) return E_PICKLE;
           auto t = mk(PValue::TUPLE);
           t->items.assign(stack.begin() + m, stack.end());
           stack.resize(m);
@@ -419,30 +471,32 @@ struct Unpickler {
           auto v = mk(PValue::GLOBAL); v->s = mod->s + " " + name->s;
           stack.push_back(v); break;
         }
-        case 0x94: memo_put(stack.back(), memo.size()); break;        // MEMOIZE
-        case 'q': { if (!have(1)) return E_PICKLE; memo_put(stack.back(), u8()); break; }   // BINPUT
-        case 'r': { if (!have(4)) return E_PICKLE; memo_put(stack.back(), u32()); break; }  // LONG_BINPUT
+        case 0x94: memo_put(top(), memo.size()); break;               // MEMOIZE
+        case 'q': { if (!have(1)) return E_PICKLE; memo_put(top(), u8()); break; }   // BINPUT
+        case 'r': { if (!have(4)) return E_PICKLE; memo_put(top(), u32()); break; }  // LONG_BINPUT
         case 'h': { if (!have(1)) return E_PICKLE; uint8_t k = u8(); if (k >= memo.size() || !memo[k]) return E_PICKLE; stack.push_back(memo[k]); break; }  // BINGET
         case 'j': { if (!have(4)) return E_PICKLE; uint32_t k = u32(); if (k >= memo.size() || !memo[k]) return E_PICKLE; stack.push_back(memo[k]); break; } // LONG_BINGET
         case 'R': { auto args = pop(); auto fn = pop(); stack.push_back(reduce(fn, args)); break; }  // REDUCE
         case 'b': build(); break;                                     // BUILD
-        case 'a': { auto v = pop(); if (stack.back()->kind == PValue::LIST) stack.back()->items.push_back(v); break; }  // APPEND
+        case 'a': { auto v = pop(); auto lst = top(); if (lst->kind == PValue::LIST) lst->items.push_back(v); break; }  // APPEND
         case 'e': { // APPENDS
           if (marks.empty()) return E_PICKLE;
           size_t m = marks.back(); marks.pop_back();
+          if (m < 1 || m > stack.size()) return E_PICKLE;
           auto& lst = stack[m - 1];
           for (size_t k = m; k < stack.size(); ++k) lst->items.push_back(stack[k]);
           stack.resize(m); break;
         }
         case 's': { // SETITEM
-          auto v = pop(); auto key = pop();
-          if (stack.back()->kind == PValue::DICT && key->kind == PValue::STR)
-            stack.back()->dict[key->s] = v;
+          auto v = pop(); auto key = pop(); auto d = top();
+          if (d->kind == PValue::DICT && key->kind == PValue::STR)
+            d->dict[key->s] = v;
           break;
         }
         case 'u': { // SETITEMS: pairwise (key, value) above the mark
           if (marks.empty() || marks.back() == 0) return E_PICKLE;
           size_t m = marks.back(); marks.pop_back();
+          if (m > stack.size()) return E_PICKLE;
           auto& d = stack[m - 1];
           for (size_t k = m; k + 1 < stack.size(); k += 2) {
             auto key = stack[k];
@@ -452,10 +506,15 @@ struct Unpickler {
           }
           stack.resize(m); break;
         }
-        case '.': { *result = stack.empty() ? mk(PValue::NONE) : stack.back(); return OK; }  // STOP
+        case '.': {
+          if (bad) return E_PICKLE;
+          *result = stack.empty() ? mk(PValue::NONE) : stack.back();
+          return OK;
+        }  // STOP
         default:
           return E_PICKLE;
       }
+      if (bad) return E_PICKLE;  // stack underflow inside the last opcode
     }
     return E_PICKLE;
   }
@@ -464,8 +523,16 @@ struct Unpickler {
 // ndarray PValue -> float vector
 static bool pnd_to_f32(const PPtr& v, std::vector<float>* out, int64_t* len) {
   if (!v || v->kind != PValue::NDARRAY) return false;
+  // shape dims come from the (untrusted) pickle stream: bound the element
+  // count by the payload bytes BEFORE sizing any allocation off it
   int64_t numel = 1;
-  for (auto s : v->shape) numel *= s;
+  for (auto s : v->shape) {
+    if (s < 0 || (uint64_t)s > v->bytes.size()) return false;
+    if (s != 0 && numel > (int64_t)(v->bytes.size() / (size_t)s) + 1)
+      return false;
+    numel *= s;
+  }
+  if (numel < 0 || (uint64_t)numel > v->bytes.size()) return false;
   *len = numel;
   out->resize((size_t)numel);
   const std::string& d = v->descr;
@@ -614,10 +681,17 @@ int demovlp_read_frame(const char* path, int object_num,
                        float* out_feat, float* out_mask, int32_t* out_len) {
   if (!path || object_num <= 0 || !out_feat || !out_mask || !out_len)
     return E_ARG;
-  FrameDecoded fr;
-  int rc = decode_frame(path, &fr);
-  if (rc != OK) return rc;
-  return select_frame(fr, object_num, out_feat, out_mask, out_len);
+  // catch-all: untrusted bytes must never take down the process — an
+  // uncaught exception (e.g. bad_alloc on a corrupt size field) escaping
+  // into the caller's worker thread would std::terminate
+  try {
+    FrameDecoded fr;
+    int rc = decode_frame(path, &fr);
+    if (rc != OK) return rc;
+    return select_frame(fr, object_num, out_feat, out_mask, out_len);
+  } catch (...) {
+    return E_IO;
+  }
 }
 
 // Batched, threaded variant. paths: n_frames C strings. Outputs are

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Run the native-reader adversarial test matrix under ASan + UBSan.
+
+    python scripts/asan_check_native.py
+
+Builds native/npz_region_reader.cc with
+`-fsanitize=address,undefined -fno-sanitize-recover=all`, then re-executes
+the adversarial pytest module (tests/test_native_adversarial.py) in a child
+process with libasan LD_PRELOADed and the sanitized library substituted for
+the production one. Any over-read, underflow, or UB the plain build would
+silently survive aborts the child and fails this script.
+
+Kept as a script (not an always-on test) because LD_PRELOADing asan into
+the full test process slows everything and trips on unrelated
+python-extension noise; run it after touching the C++.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SRC = REPO / "native" / "npz_region_reader.cc"
+
+
+def main() -> int:
+    tmp = Path(tempfile.mkdtemp(prefix="asan_native_"))
+    lib = tmp / "libregionreader.so"
+    build = [
+        "g++", "-O1", "-g", "-shared", "-fPIC", "-std=c++17",
+        "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
+        str(SRC), "-o", str(lib), "-lz", "-lpthread",
+    ]
+    print("+", " ".join(build))
+    subprocess.run(build, check=True)
+
+    asan_rt = subprocess.run(
+        ["g++", "-print-file-name=libasan.so"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+
+    env = dict(os.environ)
+    env["LD_PRELOAD"] = asan_rt
+    # leak detection trips on CPython's arena allocations — irrelevant here
+    env["ASAN_OPTIONS"] = "detect_leaks=0:abort_on_error=1"
+    env["DEMOVLP_NATIVE_LIB"] = str(lib)
+    env["PYTHONPATH"] = str(REPO)
+    cmd = [
+        sys.executable, "-m", "pytest",
+        str(REPO / "tests" / "test_native_adversarial.py"),
+        str(REPO / "tests" / "test_native.py"),
+        "-q", "-p", "no:cacheprovider",
+    ]
+    print("+", " ".join(cmd))
+    rc = subprocess.run(cmd, env=env, cwd=REPO).returncode
+    print("ASAN+UBSAN matrix:", "PASS" if rc == 0 else f"FAIL rc={rc}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
