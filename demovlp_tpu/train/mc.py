@@ -17,10 +17,12 @@ import jax
 import numpy as np
 
 from demovlp_tpu.utils.prng import fast_prng_key
-from demovlp_tpu.parallel.mesh import host_allgather
+from demovlp_tpu.parallel.mesh import (fetch_local_rows, host_allgather,
+                                        shard_batch)
 from demovlp_tpu.train.base_trainer import BaseTrainer
 from demovlp_tpu.train.state import create_train_state
-from demovlp_tpu.train.steps import make_mc_eval_step, prepare_batch
+from demovlp_tpu.train.steps import (make_mc_eval_step,
+                                     make_mc_eval_step_batched, prepare_batch)
 
 logger = logging.getLogger(__name__)
 
@@ -100,11 +102,79 @@ class MCTrainer(BaseTrainer):
             "object_mask": np.ones((n_options, f, k), np.float32),
         }
         self.state = create_train_state(model, tx, sample, self.init_rng, mesh)
-        self._eval_step = make_mc_eval_step(model, loss, mesh, n_options)
+        # B items per dispatch sharded over 'data' (default 8); 1 restores
+        # the reference-shaped replicated batch-1 path. Equality between the
+        # two is pinned by tests/test_mc_batched.py.
+        self.mc_eval_batch = int(
+            config.get("trainer", {}).get("mc_eval_batch", 8)
+        )
+        if self.mc_eval_batch > 1:
+            # each dispatch shards the item axis over 'data' — round up so
+            # the compiled shape divides evenly (pad rows are free anyway)
+            dp = mesh.shape["data"]
+            self.mc_eval_batch = -(-self.mc_eval_batch // dp) * dp
+            self._eval_step = make_mc_eval_step_batched(
+                model, loss, mesh, n_options
+            )
+        else:
+            self._eval_step = make_mc_eval_step(model, loss, mesh, n_options)
 
     def _train_epoch(self, epoch: int):
         # eval-only task (reference trainer_dist.py:768 returns None)
         return None
+
+    def _valid_batched(self, dl, params, preds: Dict) -> None:
+        """Grouped MC eval: collect B loader items (each 1 video x n_opt
+        texts), stack to (B, n_opt, ...) and score them in one sharded
+        dispatch (steps.make_mc_eval_step_batched). The last group is padded
+        by repeating its first item (flagged invalid) so every dispatch —
+        and every host, with the loader's equal eval shares — runs the same
+        compiled shape."""
+        B = self.mc_eval_batch
+        group: List[Dict[str, np.ndarray]] = []
+        ids: List[Any] = []
+        valid: List[bool] = []
+
+        def flush():
+            n_real = len(group)
+            while len(group) < B:  # pad to the compiled batch shape
+                group.append(group[0])
+                valid.append(False)
+            batch = {
+                k: np.stack([g[k] for g in group])
+                for k in ("input_ids", "attention_mask", "object",
+                          "object_mask")
+            }
+            scores = fetch_local_rows(
+                self._eval_step(params, shard_batch(batch, self.mesh))
+            )  # (B, n_opt) — this host's own items
+            for i in range(n_real):
+                if valid[i]:
+                    preds[ids[i]] = int(scores[i].argmax())
+            group.clear()
+            ids.clear()
+            valid.clear()
+
+        for data in dl:
+            arrays = prepare_batch(data, self.tokenizer)
+            arrays.pop("label", None)
+            sample_valid = arrays.pop("sample_valid", None)
+            n_opt = arrays["input_ids"].shape[0]
+            arrays["object"] = np.repeat(data["object"], n_opt, axis=0)
+            arrays["object_mask"] = np.repeat(
+                data["object_mask"], n_opt, axis=0
+            )
+            group.append(arrays)
+            ids.append(data["mc_id"][0])
+            # multi-host wrap-pad duplicates are scored (host symmetry) but
+            # never recorded
+            valid.append(
+                sample_valid is None or bool(sample_valid[0])
+            )
+            if len(group) == B:
+                flush()
+        if group:
+            flush()
 
     def _valid_epoch(self, epoch: int) -> Dict[str, Any]:
         params = self.state.params
@@ -112,21 +182,28 @@ class MCTrainer(BaseTrainer):
         pred_id2answer: Dict[int, Dict] = {}
         for dl_idx, dl in enumerate(self.valid_data_loader):
             preds: Dict = {}
-            for data in dl:
-                # batch_size 1: one video, n_options texts
-                arrays = prepare_batch(data, self.tokenizer)
-                arrays.pop("label", None)
-                # multi-host wrap-pad duplicate (data/loader.py): still run
-                # the (collective) eval step for host symmetry, but don't
-                # record the prediction
-                sample_valid = arrays.pop("sample_valid", None)
-                is_pad = sample_valid is not None and not bool(sample_valid[0])
-                n_opt = arrays["input_ids"].shape[0]
-                arrays["object"] = np.repeat(data["object"], n_opt, axis=0)
-                arrays["object_mask"] = np.repeat(data["object_mask"], n_opt, axis=0)
-                scores = np.asarray(self._eval_step(params, arrays))
-                if not is_pad:
-                    preds[data["mc_id"][0]] = int(scores.argmax())
+            if self.mc_eval_batch > 1:
+                self._valid_batched(dl, params, preds)
+            else:
+                for data in dl:
+                    # batch_size 1: one video, n_options texts
+                    arrays = prepare_batch(data, self.tokenizer)
+                    arrays.pop("label", None)
+                    # multi-host wrap-pad duplicate (data/loader.py): still
+                    # run the (collective) eval step for host symmetry, but
+                    # don't record the prediction
+                    sample_valid = arrays.pop("sample_valid", None)
+                    is_pad = (
+                        sample_valid is not None and not bool(sample_valid[0])
+                    )
+                    n_opt = arrays["input_ids"].shape[0]
+                    arrays["object"] = np.repeat(data["object"], n_opt, axis=0)
+                    arrays["object_mask"] = np.repeat(
+                        data["object_mask"], n_opt, axis=0
+                    )
+                    scores = np.asarray(self._eval_step(params, arrays))
+                    if not is_pad:
+                        preds[data["mc_id"][0]] = int(scores.argmax())
             # id2answer's insertion order = dataset metadata order, identical
             # on every host (and defined by all MC datasets incl. synthetic)
             preds = merge_mc_predictions(

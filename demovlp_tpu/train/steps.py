@@ -294,9 +294,66 @@ def make_qa_eval_step(model, mesh) -> Callable:
     return jax.jit(step, in_shardings=(None, dat), out_shardings=dat)
 
 
+def make_mc_eval_step_batched(
+    model, loss_obj, mesh, n_options: int = 5
+) -> Callable:
+    """B multiple-choice items per dispatch, sharded over the mesh's 'data'
+    axis — the TPU-first replacement for the reference's bs=1 MC eval
+    (configs/ft/msrvtt_mc-select.json + trainer/trainer_dist.py:810-829),
+    which under SPMD would replicate the same batch-1 forward on every chip.
+
+    Inputs are (B, n_options, ...) host arrays: item axis sharded, option
+    axis local to a device, so the (flattened) tower forward runs B*n_opt
+    rows in parallel and each item's (n_opt, n_opt) global+local score
+    matrix is computed device-locally (vmapped get_sim — NO cross-item
+    pairs, unlike flattening into one (B*n_opt)^2 call). Per item the
+    scored row is [0] with the reference's gsim+lsim orientation quirk —
+    identical math to make_mc_eval_step item by item (equality-tested in
+    tests/test_mc_batched.py). Returns (B, n_options) scores."""
+
+    def step(params, batch):
+        B, n_opt = batch["input_ids"].shape[:2]
+        flat = {k: v.reshape((B * n_opt,) + v.shape[2:]) for k, v in batch.items()}
+        out = model.apply(params, flat, deterministic=True)
+
+        def by_item(x):
+            return x.reshape((B, n_opt) + x.shape[1:])
+
+        g_t = by_item(out["global_text_embeddings"]).astype(jnp.float32)
+        g_o = by_item(out["global_object_embeddings"]).astype(jnp.float32)
+        # per-item sim_matrix (same eps-floored cosine as ops/similarity)
+        eps = 1e-8
+        g_t = g_t / jnp.maximum(
+            jnp.linalg.norm(g_t, axis=-1, keepdims=True), eps
+        )
+        g_o = g_o / jnp.maximum(
+            jnp.linalg.norm(g_o, axis=-1, keepdims=True), eps
+        )
+        gsim = jnp.einsum("bod,bpd->bop", g_t, g_o)
+
+        text_mask = additive_mask(flat["attention_mask"][:, 1:])
+        lsim = jax.vmap(
+            lambda im, s, im_mask, s_mask: loss_obj.local_loss.get_sim(
+                im, s, im_mask, None, s_mask
+            )
+        )(
+            by_item(out["local_object_embeddings"]),
+            by_item(out["local_text_embeddings"]),
+            by_item(out["object_mask"]),
+            by_item(text_mask),
+        )
+        sims = gsim + lsim  # (B, n_opt, n_opt); row 0 = the real video
+        return sims[:, 0, :]
+
+    dat = batch_sharding(mesh)
+    # params None = inherit committed layout (TP-safe; see retrieval eval)
+    return jax.jit(step, in_shardings=(None, dat), out_shardings=dat)
+
+
 def make_mc_eval_step(model, loss_obj, mesh, n_options: int = 5) -> Callable:
     """One video x n_options texts -> per-option scores (global + local sim,
-    reference trainer/trainer_dist.py:810-829). Replicated (batch=1 path)."""
+    reference trainer/trainer_dist.py:810-829). Replicated (batch=1 path) —
+    see make_mc_eval_step_batched for the sharded production path."""
 
     def step(params, batch):
         out = model.apply(params, batch, deterministic=True)

@@ -47,12 +47,26 @@ def test_prepare_batch_includes_label():
 def test_find_latest_checkpoint(tmp_path):
     assert find_latest_checkpoint(tmp_path, "exp") is None
     base = tmp_path / "models" / "exp"
-    (base / "0101_000000" / "checkpoint-epoch2").mkdir(parents=True)
-    (base / "0102_000000" / "checkpoint-epoch1").mkdir(parents=True)
-    (base / "0102_000000" / "checkpoint-epoch3").mkdir(parents=True)
+
+    def mk(run, epoch, complete=True):
+        d = base / run / f"checkpoint-epoch{epoch}"
+        d.mkdir(parents=True)
+        if complete:  # meta.json is the commit marker
+            (d / "meta.json").write_text("{}")
+        return d
+
+    mk("0101_000000", 2)
+    mk("0102_000000", 1)
+    mk("0102_000000", 3)
     latest = find_latest_checkpoint(tmp_path, "exp")
     assert latest.name == "checkpoint-epoch3"
     assert latest.parent.name == "0102_000000"
+    # an interrupted save (no commit marker) and an orbax tmp dir must
+    # never be selected for auto-resume
+    mk("0102_000000", 4, complete=False)
+    (base / "0102_000000"
+     / "checkpoint-epoch5.orbax-checkpoint-tmp").mkdir()
+    assert find_latest_checkpoint(tmp_path, "exp").name == "checkpoint-epoch3"
 
 
 def test_cast_tower_weights_contract():
