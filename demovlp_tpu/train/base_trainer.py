@@ -76,6 +76,11 @@ class BaseTrainer:
             config.save_dir,
             arch=type(model).__name__,
             config=dict(config.config),
+            # async (default): the orbax write + commit marker land on a
+            # waiter thread while the next epoch trains; train() waits at
+            # the end. trainer.async_checkpoint=false restores blocking
+            # saves.
+            async_save=bool(cfg_trainer.get("async_checkpoint", True)),
         )
         self.state = None  # set by subclass
 
@@ -149,4 +154,7 @@ class BaseTrainer:
 
             self.checkpoint.save(self.state, epoch, self.mnt_best, save_best=best)
             final_log = log
+        # commit the last epoch's (possibly async) save before returning —
+        # the waiter is a daemon thread and would die with the process
+        self.checkpoint.wait()
         return final_log

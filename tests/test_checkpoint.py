@@ -24,6 +24,7 @@ def test_save_restore_roundtrip(tmp_path):
     state, tx = _tiny_state()
     mgr = CheckpointManager(tmp_path, arch="Tiny", config={"optimizer": {"type": "AdamW"}})
     mgr.save(state, epoch=3, monitor_best=0.5, save_best=True)
+    mgr.wait()  # save() is async by default; wait() commits dir + marker
     assert (tmp_path / "checkpoint-epoch3").exists()
     assert (tmp_path / "model_best").exists()
 
@@ -57,6 +58,48 @@ def test_overwrite_same_epoch(tmp_path):
     assert meta["monitor_best"] == 0.8
 
 
+def test_async_save_commit_marker(tmp_path):
+    """Async saves finalize on a waiter thread; wait()/latest()/restore()
+    commit them. meta.json is the commit marker: latest() never returns a
+    directory that lacks it."""
+    state, _ = _tiny_state()
+    mgr = CheckpointManager(tmp_path, arch="Tiny", async_save=True)
+    mgr.save(state, epoch=1, monitor_best=1.0, save_best=True)
+    # latest() must implicitly wait and then see the committed checkpoint
+    latest = mgr.latest()
+    assert latest is not None and latest.name == "checkpoint-epoch1"
+    assert (latest / "meta.json").exists()
+    assert (tmp_path / "model_best" / "meta.json").exists()
+
+
+def test_incomplete_checkpoint_ignored_and_resaveable(tmp_path):
+    """A kill can leave a finalized orbax dir WITHOUT the meta.json commit
+    marker, or a stale .orbax-checkpoint-tmp dir. latest() must skip both,
+    and a re-save of the same epoch must clear them and succeed."""
+    state, _ = _tiny_state()
+    mgr = CheckpointManager(tmp_path, arch="Tiny")
+    mgr.save(state, epoch=1, monitor_best=1.0)
+    assert mgr.latest().name == "checkpoint-epoch1"
+
+    # simulate a kill after orbax committed epoch 2 but before the marker
+    import shutil
+
+    shutil.copytree(tmp_path / "checkpoint-epoch1", tmp_path / "checkpoint-epoch2")
+    (tmp_path / "checkpoint-epoch2" / "meta.json").unlink()
+    # ... and a kill mid-write of epoch 3
+    (tmp_path / "checkpoint-epoch3.orbax-checkpoint-tmp").mkdir()
+
+    assert mgr.latest().name == "checkpoint-epoch1"
+
+    # relaunched run redoes epoch 2: the stale dirs must not break the save
+    mgr2 = CheckpointManager(tmp_path, arch="Tiny")
+    mgr2.save(state, epoch=2, monitor_best=0.9)
+    mgr2.save(state, epoch=3, monitor_best=0.8)
+    assert mgr2.latest().name == "checkpoint-epoch3"
+    _, meta = mgr2.restore(tmp_path / "checkpoint-epoch2", state)
+    assert meta["monitor_best"] == 0.9
+
+
 def test_export_script_numpy_restore_and_extract(tmp_path):
     """scripts/export_checkpoint.py: topology-free numpy restore of a
     TrainState checkpoint + params extraction (the .pth write itself is
@@ -73,6 +116,7 @@ def test_export_script_numpy_restore_and_extract(tmp_path):
     state, _ = _tiny_state(seed=2)
     mgr = CheckpointManager(tmp_path, arch="Tiny")
     mgr.save(state, epoch=1, monitor_best=0.0)
+    mgr.wait()  # reading the dir via an external function, not mgr.restore
 
     tree = mod.restore_numpy_tree(tmp_path / "checkpoint-epoch1")
     params = mod.extract_params(tree)
