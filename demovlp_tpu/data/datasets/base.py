@@ -84,6 +84,22 @@ class RegionDataset:
     def __len__(self) -> int:
         return self._num_samples()
 
+    def text_lengths(self) -> np.ndarray:
+        """Approximate per-sample caption lengths (whitespace word counts),
+        consumed by length-grouped batching (data/loader.py). A PROXY only:
+        grouping never changes sample content, just which samples share a
+        batch, so a dataset whose `_text` draws a random caption per fetch
+        may return a different (correlated-length) caption later — harmless.
+        Pure metadata reads; no region IO."""
+        rng = np.random.default_rng(0)
+        out = np.empty(len(self), dtype=np.int32)
+        for i in range(len(self)):
+            t = self._text(i, rng)
+            if isinstance(t, (list, tuple)):
+                t = max((str(x) for x in t), key=len, default="")
+            out[i] = len(str(t).split())
+        return out
+
     def _frame_indices(self, vlen: int, rng: np.random.Generator):
         if self.split == "train":
             idxs = sample_frame_indices(self.segments, vlen, "rand", rng)

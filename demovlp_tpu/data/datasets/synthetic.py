@@ -27,6 +27,11 @@ class SyntheticObjectSelect(RegionDataset):
     def _load_metadata(self):
         self.num_samples = int(self.object_params.get("num_samples", 64))
         self.task = self.object_params.get("task", "retrieval")
+        # "short" (default): 3-9 words. "long_tail": lognormal, ~12-word
+        # median with a tail to 70 — the realistic caption-length profile
+        # (MSRVTT ~9 median / CC3M ~10 with long conceptual captions) that
+        # the length-grouped-batching bench measures against.
+        self.caption_style = self.object_params.get("caption_style", "short")
         self.num_label = int(self.object_params.get("num_label", 16))
         self.num_options = int(self.object_params.get("num_options", 5))
         self.metadata = list(range(self.num_samples))
@@ -51,7 +56,10 @@ class SyntheticObjectSelect(RegionDataset):
 
     def _caption(self, index: int, offset: int = 0) -> str:
         rng = np.random.default_rng(1000 + index * 37 + offset)
-        n = int(rng.integers(3, 10))
+        if self.caption_style == "long_tail":
+            n = int(min(3 + rng.lognormal(mean=np.log(9.0), sigma=0.55), 70))
+        else:
+            n = int(rng.integers(3, 10))
         return " ".join(_WORDS[int(w)] for w in rng.integers(0, len(_WORDS), n))
 
     def _object_path(self, index: int) -> str:

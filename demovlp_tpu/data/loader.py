@@ -57,6 +57,7 @@ class RegionDataLoader:
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
         prefetch: int = 2,
+        length_grouped: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -65,6 +66,10 @@ class RegionDataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        # train-only (shuffled, drop_last) caption-length grouping — see
+        # _length_group. Inert on eval loaders by construction.
+        self.length_grouped = bool(length_grouped) and shuffle and drop_last
+        self._text_lens: Optional[np.ndarray] = None
         if process_index is None or process_count is None:
             import jax
 
@@ -79,6 +84,31 @@ class RegionDataLoader:
     # reference API parity: sampler.set_epoch(epoch)
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    _MEGABATCH_FACTOR = 8  # megabatch = factor x batch_size samples
+
+    def _length_group(self, idx: np.ndarray) -> np.ndarray:
+        """Reorder this host's permutation slice so consecutive batches are
+        caption-length-homogeneous: chunk into megabatches of
+        8*batch_size, sort each by the dataset's length proxy (descending —
+        the longest, slowest batch of each megabatch runs first).
+
+        Why: prepare_batch (train/steps.py) trims each batch's token padding
+        to the batch MAX, so one long caption in a random batch drags all
+        128 rows to the big bucket; grouping makes the short-bucket fast
+        band the TYPICAL band (PARITY.md #15 documents the sampling-
+        distribution deviation). Randomness is preserved across epochs: the
+        megabatch partition comes from the per-epoch permutation, and
+        __iter__ shuffles the final batch ORDER so epoch position doesn't
+        correlate with caption length."""
+        if self._text_lens is None:
+            self._text_lens = np.asarray(self.dataset.text_lengths())
+        lens = self._text_lens
+        mega = self.batch_size * self._MEGABATCH_FACTOR
+        return np.concatenate([
+            c[np.argsort(-lens[c], kind="stable")]
+            for c in (idx[i : i + mega] for i in range(0, len(idx), mega))
+        ])
 
     def _host_indices(self):
         """This host's sample indices, plus a per-sample validity array (or
@@ -112,7 +142,10 @@ class RegionDataLoader:
                     f"{self.process_count} hosts"
                 )
             order = order[: per_host * self.process_count]
-            return order[self.process_index :: self.process_count], None
+            host = order[self.process_index :: self.process_count]
+            if self.length_grouped:
+                host = self._length_group(host)
+            return host, None
         share = -(-n // self.process_count)
         total = share * self.process_count
         # cyclic wrap (np.resize) — the pad can exceed n when n < 2*P
@@ -234,6 +267,13 @@ class RegionDataLoader:
         ]
         if tail and not self.drop_last:
             batches.append(indices[nb * self.batch_size :])
+        if self.length_grouped and len(batches) > 1:
+            # decorrelate epoch position from caption length: batch order is
+            # re-shuffled (seeded by (seed, epoch) like the permutation)
+            brng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, 1])
+            )
+            batches = [batches[j] for j in brng.permutation(len(batches))]
         if valid is not None:
             vbatches = [
                 valid[i * self.batch_size : (i + 1) * self.batch_size]
@@ -336,6 +376,7 @@ class MultiDistTextObjectVideoDataLoader(RegionDataLoader):
         args: Any = None,  # parity slot; unused (mesh replaces rank plumbing)
         drop_last: Optional[bool] = None,
         seed: int = 0,
+        length_grouped: bool = False,
     ):
         tsfm_dict = init_transform_dict(**(tsfm_params or {}))
         dataset = dataset_object_loader(
@@ -363,4 +404,5 @@ class MultiDistTextObjectVideoDataLoader(RegionDataLoader):
             num_workers=num_workers,
             drop_last=drop_last,
             seed=seed,
+            length_grouped=length_grouped,
         )

@@ -1,0 +1,121 @@
+"""Length-grouped train batching (data/loader.py length_grouped): batches
+become caption-length-homogeneous so prepare_batch's trim-to-batch-max
+(train/steps.py) lands in the small text buckets for typical batches.
+
+Deviation from the reference's uniform DistributedSampler documented in
+PARITY.md #15 — coverage, determinism and host partitioning must be
+IDENTICAL to the ungrouped loader; only within-epoch batch composition
+changes.
+"""
+import numpy as np
+
+from demovlp_tpu.data.datasets import dataset_object_loader
+from demovlp_tpu.data.loader import RegionDataLoader
+
+F, K = 1, 4
+
+
+def _ds(n=256, style="long_tail"):
+    return dataset_object_loader(
+        "SyntheticObjectSelect",
+        text_params={},
+        object_params={
+            "num_frames": F, "object_num": K, "num_samples": n,
+            "caption_style": style,
+        },
+        split="train",
+    )
+
+
+def _loader(ds, bs=8, grouped=True, process_index=0, process_count=1,
+            seed=3):
+    return RegionDataLoader(
+        ds, batch_size=bs, shuffle=True, num_workers=2, drop_last=True,
+        seed=seed, process_index=process_index, process_count=process_count,
+        length_grouped=grouped,
+    )
+
+
+def _batch_indices(loader):
+    """Recover sample indices batch-by-batch via meta paths
+    (synthetic://<index>)."""
+    out = []
+    for batch in loader:
+        out.append([int(m["paths"].split("//")[1]) for m in batch["meta"]])
+    return out
+
+
+def test_text_lengths_proxy():
+    ds = _ds(64)
+    lens = ds.text_lengths()
+    assert lens.shape == (64,) and lens.dtype == np.int32
+    assert lens.min() >= 3
+    # long-tail style: median near 12 words, real spread
+    assert 8 <= np.median(lens) <= 16
+    assert lens.max() > 20
+
+
+def test_coverage_identical_to_ungrouped():
+    """Grouping is a pure reorder: one epoch covers exactly the same sample
+    set as the ungrouped loader (n divisible by batch size, so no tail)."""
+    ds = _ds(128)
+    plain = _batch_indices(_loader(ds, grouped=False))
+    grouped = _batch_indices(_loader(ds, grouped=True))
+    assert len(plain) == len(grouped) == 128 // 8
+    flat_p = sorted(i for b in plain for i in b)
+    flat_g = sorted(i for b in grouped for i in b)
+    assert flat_p == flat_g == list(range(128))
+
+
+def test_deterministic_and_epoch_varies():
+    ds = _ds(128)
+    l1, l2 = _loader(ds), _loader(ds)
+    assert _batch_indices(l1) == _batch_indices(l2)
+    l2.set_epoch(1)
+    e1 = _batch_indices(l2)
+    assert e1 != _batch_indices(l1)
+    # and epoch 1 still covers everything exactly once
+    assert sorted(i for b in e1 for i in b) == list(range(128))
+
+
+def test_batches_are_length_homogeneous():
+    """Mean within-batch length SPREAD must drop sharply vs ungrouped, and
+    the mean batch-max (what prepare_batch pads to) must drop too."""
+    ds = _ds(512)
+    lens = ds.text_lengths()
+
+    def spread_and_max(batches):
+        spreads, maxes = [], []
+        for b in batches:
+            bl = lens[b]
+            spreads.append(bl.max() - bl.min())
+            maxes.append(bl.max())
+        return np.mean(spreads), np.mean(maxes)
+
+    sp_p, mx_p = spread_and_max(_batch_indices(_loader(ds, grouped=False)))
+    sp_g, mx_g = spread_and_max(_batch_indices(_loader(ds, grouped=True)))
+    assert sp_g < 0.35 * sp_p, (sp_g, sp_p)
+    assert mx_g < 0.80 * mx_p, (mx_g, mx_p)
+
+
+def test_multihost_partition_disjoint_and_equal():
+    ds = _ds(256)
+    per_host = []
+    for pi in range(2):
+        loader = _loader(ds, process_index=pi, process_count=2)
+        per_host.append([i for b in _batch_indices(loader) for i in b])
+    assert len(per_host[0]) == len(per_host[1]) == 128
+    assert not (set(per_host[0]) & set(per_host[1]))
+
+
+def test_inert_on_eval_loaders():
+    """length_grouped is train-only: an unshuffled / keep-last loader must
+    ignore it (eval order is the dataset order contract)."""
+    ds = _ds(64)
+    loader = RegionDataLoader(
+        ds, batch_size=8, shuffle=False, num_workers=2, drop_last=False,
+        process_index=0, process_count=1, length_grouped=True,
+    )
+    assert not loader.length_grouped
+    flat = [i for b in _batch_indices(loader) for i in b]
+    assert flat == list(range(64))
