@@ -188,6 +188,12 @@ def main() -> None:
     # stay separable (BENCH_DUAL=0 skips the second measurement)
     if local_dtype != "float32" and os.environ.get("BENCH_DUAL", "1") == "1":
         out["f32_exact_value"] = round(measure("float32"), 2)
+    # secondary task envelopes (QA train step, MC eval single vs batched) —
+    # BENCH_TASKS=0 skips them for quick iteration runs
+    if os.environ.get("BENCH_TASKS", "1") == "1":
+        import bench_tasks
+
+        out.update(bench_tasks.run_all())
     print(json.dumps(out))
 
 
