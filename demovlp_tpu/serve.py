@@ -62,6 +62,7 @@ def embed_loader(
     dl,
     tokenizer,
     mesh,
+    transfer_dtype=None,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, List[str]]]:
     """Embed every sample of a (possibly multi-host-sharded) loader once.
 
@@ -69,10 +70,40 @@ def embed_loader(
     dataset order — globally gathered across hosts with the same ragged
     merge as the trainer, pad/duplicate rows dropped; `metas` carries the
     gathered 'paths'/'raw_captions' strings, row-aligned with `cat`.
+
+    The loop keeps one batch in flight: batch i+1 is assembled and its
+    transfer+compute dispatched before batch i's outputs are fetched, so
+    host assembly and H2D overlap device work (on tunneled single-host
+    setups the H2D of the 98 MB region tensor is the dominant per-batch
+    cost — measured 6 s vs 0.07 s compute at b=50/f=8).
+
+    `transfer_dtype` (e.g. jnp.bfloat16) casts the region-feature tensor
+    on the host before transfer, halving H2D bytes. For a bf16-compute
+    model this is bit-identical: the tower's first op is
+    `x.astype(self.dtype)` (models/object_transformer.py), and numpy's
+    round-to-nearest-even f32->bf16 matches XLA's convert
+    (tests/test_serve.py pins equality).
     """
     arrs: Dict[str, List[np.ndarray]] = {k: [] for k in EMBED_KEYS}
     paths: List[str] = []
     captions: List[str] = []
+
+    def drain(out, keep) -> None:
+        # outputs are 'data'-sharded over the GLOBAL mesh: keep this host's
+        # own rows; the ragged gather below reassembles dataset order
+        arrs["g_t"].append(fetch_local_rows(out["global_text_embeddings"])[keep])
+        arrs["g_o"].append(
+            fetch_local_rows(out["global_object_embeddings"])[keep]
+        )
+        arrs["l_t"].append(fetch_local_rows(out["local_text_embeddings"])[keep])
+        arrs["l_o"].append(
+            fetch_local_rows(out["local_object_embeddings"])[keep]
+        )
+        arrs["o_mask"].append(fetch_local_rows(out["object_mask"])[keep])
+        arrs["t_mask"].append(fetch_local_rows(out["text_mask_add"])[keep])
+        arrs["t_len"].append(fetch_local_rows(out["text_length"])[keep])
+
+    pending = None
     for data in dl:
         arrays = prepare_batch(data, tokenizer)
         arrays.pop("label", None)
@@ -87,20 +118,14 @@ def embed_loader(
             if k:
                 paths.append(str(m.get("paths", "")))
                 captions.append(str(m.get("raw_captions", "")))
+        if transfer_dtype is not None:
+            arrays["object"] = arrays["object"].astype(transfer_dtype)
         out = embed_step(params, shard_batch(arrays, mesh))
-        # outputs are 'data'-sharded over the GLOBAL mesh: keep this host's
-        # own rows; the ragged gather below reassembles dataset order
-        arrs["g_t"].append(fetch_local_rows(out["global_text_embeddings"])[keep])
-        arrs["g_o"].append(
-            fetch_local_rows(out["global_object_embeddings"])[keep]
-        )
-        arrs["l_t"].append(fetch_local_rows(out["local_text_embeddings"])[keep])
-        arrs["l_o"].append(
-            fetch_local_rows(out["local_object_embeddings"])[keep]
-        )
-        arrs["o_mask"].append(fetch_local_rows(out["object_mask"])[keep])
-        arrs["t_mask"].append(fetch_local_rows(out["text_mask_add"])[keep])
-        arrs["t_len"].append(fetch_local_rows(out["text_length"])[keep])
+        if pending is not None:
+            drain(*pending)
+        pending = (out, keep)
+    if pending is not None:
+        drain(*pending)
     cat = {k: np.concatenate(v, axis=0) for k, v in arrs.items()}
     cat = {k: host_allgather_ragged(v) for k, v in cat.items()}
     meta = {
@@ -157,6 +182,7 @@ def predict_qa(
     tokenizer,
     mesh,
     label2ans=None,
+    transfer_dtype=None,
 ) -> List[Dict[str, Any]]:
     """Offline video-QA prediction over a (possibly multi-host-sharded)
     loader: one entry {question_id, answer (label index), answer_text} per
@@ -164,9 +190,18 @@ def predict_qa(
     assembly (train/qa.py _valid_epoch, reference trainer/trainer_dist.py:
     619-655) minus the metric scoring — the output feeds evaluate_qa or an
     application directly. `eval_step` comes from
-    train.steps.make_qa_eval_step."""
+    train.steps.make_qa_eval_step. One batch is kept in flight and
+    `transfer_dtype` pre-casts the region tensor, exactly as in
+    embed_loader (same H2D-dominance rationale)."""
     preds_l: List[np.ndarray] = []
     qids_l: List[np.ndarray] = []
+    pending = None
+
+    def drain(logits_dev, keep, qids) -> None:
+        logits = fetch_local_rows(logits_dev)[keep]
+        preds_l.append(logits.argmax(axis=-1))
+        qids_l.append(qids)
+
     for data in dl:
         arrays = prepare_batch(data, tokenizer)
         arrays.pop("label", None)
@@ -175,11 +210,15 @@ def predict_qa(
         keep = np.arange(dl.batch_size) < n_valid
         if sample_valid is not None:
             keep[:n_valid] &= sample_valid.astype(bool)
-        logits = fetch_local_rows(eval_step(params, shard_batch(arrays, mesh)))[keep]
-        preds_l.append(logits.argmax(axis=-1))
-        qids_l.append(
-            np.asarray(data["question_id"])[keep[: len(data["question_id"])]]
-        )
+        if transfer_dtype is not None:
+            arrays["object"] = arrays["object"].astype(transfer_dtype)
+        logits_dev = eval_step(params, shard_batch(arrays, mesh))
+        qids = np.asarray(data["question_id"])[keep[: len(data["question_id"])]]
+        if pending is not None:
+            drain(*pending)
+        pending = (logits_dev, keep, qids)
+    if pending is not None:
+        drain(*pending)
     preds = (np.concatenate(preds_l) if preds_l
              else np.zeros((0,), np.int64))
     qids = np.concatenate(qids_l) if qids_l else np.zeros((0,), np.int64)

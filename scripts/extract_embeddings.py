@@ -81,9 +81,29 @@ def main() -> None:
     use_local = bool(getattr(loss, "use_local", False)) and local_loss is not None
     mscoco_dedup = str(config["name"]).startswith("MSCOCO")
     out_path = Path(args.output)
+    import time
+
+    # bf16-compute models cast region features on device anyway; casting on
+    # the host instead halves the H2D bytes of the dominant input tensor
+    # (bit-identical — see serve.embed_loader)
+    import jax.numpy as jnp
+
+    transfer_dtype = (
+        jnp.bfloat16
+        if config.get("precision", {}).get("compute") == "bfloat16"
+        else None
+    )
     for dl_idx, dl in enumerate(val_loaders):
+        t0 = time.perf_counter()
         cat, meta = serve.embed_loader(
-            embed_step, params, dl, tokenizer, mesh
+            embed_step, params, dl, tokenizer, mesh,
+            transfer_dtype=transfer_dtype,
+        )
+        dt = time.perf_counter() - t0
+        n_vid = int(cat["g_t"].shape[0])
+        print(
+            f"[extract] embedded {n_vid} samples in {dt:.2f}s "
+            f"({n_vid / dt:.1f} videos/s)"
         )
         if jax.process_index() == 0:
             path = (
@@ -99,6 +119,7 @@ def main() -> None:
             )
             print(f"[extract] wrote {cat['g_t'].shape[0]} samples -> {path}")
         if args.topk:
+            t0 = time.perf_counter()
             sims = serve.combined_sims(
                 cat,
                 mesh,
@@ -119,6 +140,10 @@ def main() -> None:
             )
             results = serve.topk_retrieval(
                 sims, k=args.topk, query_meta=meta, gallery_meta=gallery_meta
+            )
+            print(
+                f"[extract] scored {sims.shape[0]}x{sims.shape[1]} sims + "
+                f"top-{args.topk} index in {time.perf_counter() - t0:.2f}s"
             )
             if mscoco_dedup:
                 for r in results:

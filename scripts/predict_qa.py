@@ -67,10 +67,20 @@ def main() -> None:
 
     eval_step = make_qa_eval_step(model, mesh)
     out_path = Path(args.output)
+    # bf16-compute models: cast region features on the host, halving the
+    # H2D bytes of the dominant input tensor (bit-identical — serve.py)
+    import jax.numpy as jnp
+
+    transfer_dtype = (
+        jnp.bfloat16
+        if config.get("precision", {}).get("compute") == "bfloat16"
+        else None
+    )
     for dl_idx, dl in enumerate(val_loaders):
         results = serve.predict_qa(
             eval_step, params, dl, tokenizer, mesh,
             label2ans=getattr(dl.dataset, "label2ans", None),
+            transfer_dtype=transfer_dtype,
         )
         if jax.process_index() == 0:
             path = (

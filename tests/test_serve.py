@@ -160,6 +160,40 @@ def test_embed_loader_two_process_union(tmp_path):
     assert metas[0]["paths"] + metas[1]["paths"] == meta_single["paths"]
 
 
+def test_embed_loader_bf16_transfer_exact():
+    """transfer_dtype=bf16 (halves the H2D bytes of the region tensor) is
+    bit-identical for a bf16-compute model: the tower's first op is
+    x.astype(bf16), and numpy's RNE f32->bf16 cast matches XLA's convert.
+    Also covers the one-batch-in-flight pipelining (same loop)."""
+    import jax.numpy as jnp
+
+    n = 19
+    mesh = create_mesh()
+    model = ObjectRelation(
+        object_num=K, num_frames=F, projection_dim=16, text_config=TINY_TEXT,
+        object_embed_dim=32, object_depth=2, object_heads=4,
+        dtype=jnp.bfloat16,
+    )
+    tok = SimpleTokenizer(max_length=100)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {
+            "input_ids": np.zeros((BS, 100), np.int32),
+            "attention_mask": np.ones((BS, 100), np.int32),
+            "object": np.zeros((BS, F, K, 2054), np.float32),
+            "object_mask": np.ones((BS, F, K), np.float32),
+        },
+    )
+    step = serve.make_embed_step(model, mesh)
+    base, meta_base = serve.embed_loader(step, params, _synth_loader(n), tok, mesh)
+    cast, meta_cast = serve.embed_loader(
+        step, params, _synth_loader(n), tok, mesh, transfer_dtype=jnp.bfloat16
+    )
+    assert meta_cast["paths"] == meta_base["paths"]
+    for key in serve.EMBED_KEYS:
+        np.testing.assert_array_equal(cast[key], base[key])
+
+
 def test_combined_sims_quirk_and_dedup():
     """use_local sums local(video,text) onto global(text,video) — the
     reference orientation quirk — and mscoco_dedup takes every 5th gallery
