@@ -66,9 +66,12 @@ def _mp_config(tmp_path, batch_size: int, epochs: int = 1) -> Path:
     return p
 
 
-def _launch(n_procs, devs_per_proc, cfg_path, tmp_path, run_id, extra=()):
+def _launch(n_procs, devs_per_proc, cfg_path, tmp_path, run_id, extra=(),
+            child=None, cli_style=False):
     """Spawn n_procs children; returns their result payloads in process
-    order. Asserts every child exits 0."""
+    order. Asserts every child exits 0. `cli_style=True` launches `child`
+    as an argparse CLI (`-c <config> *extra`, no per-process payload file)
+    — used for the serving scripts."""
     port = _free_port()
     procs, outs, log_paths = [], [], []
     for i in range(n_procs):
@@ -92,13 +95,17 @@ def _launch(n_procs, devs_per_proc, cfg_path, tmp_path, run_id, extra=()):
         # blocks on a full 64 KiB pipe mid-run and the whole topology
         # deadlocks into a coordination-service shutdown-barrier timeout
         log_f = open(log_path, "w")
+        if cli_style:
+            argv = [sys.executable, str(child), "-c", str(cfg_path), *extra]
+        else:
+            argv = [
+                sys.executable, str(child or CHILD), str(cfg_path), str(out),
+                *extra,
+            ]
         procs.append(
             (
                 subprocess.Popen(
-                    [
-                        sys.executable, str(CHILD), str(cfg_path), str(out),
-                        *extra,
-                    ],
+                    argv,
                     env=env,
                     cwd=REPO,
                     stdout=log_f,
@@ -126,6 +133,8 @@ def _launch(n_procs, devs_per_proc, cfg_path, tmp_path, run_id, extra=()):
             f"proc {i}/{n_procs} rc={rc}:\n"
             + log_paths[i].read_text()[-6000:]
         )
+    if cli_style:
+        return None
     return [json.loads(o.read_text()) for o in outs]
 
 
@@ -203,3 +212,48 @@ def test_two_process_checkpoint_resume(tmp_path):
     assert ckpt2.exists()
     meta = json.loads((ckpt2 / "meta.json").read_text())
     assert meta["epoch"] == 2
+
+
+def test_two_process_serving_extraction(tmp_path):
+    """The serving CLI under a REAL 2-process topology writes the same
+    embeddings npz + top-k results as the single-process run — the live
+    process_allgather paths under serve.embed_loader's
+    host_allgather_ragged/_pylist (every other serving multi-host test
+    simulates the gather). Floats are compared at tight tolerance, not
+    bitwise: the per-device row partition differs between topologies
+    (8 rows/dev vs 4), so XLA:CPU tiles the tower matmuls differently
+    (measured last-ULP diffs); integer/string fields must be exact."""
+    cfg = _mp_config(tmp_path, batch_size=8)
+    extract = REPO / "scripts" / "extract_embeddings.py"
+    sp_out, sp_res = tmp_path / "emb_sp.npz", tmp_path / "res_sp.json"
+    _launch(
+        1, 8, cfg, tmp_path, run_id="esp", child=extract, cli_style=True,
+        extra=["--split", "test", "--output", str(sp_out),
+               "--topk", "3", "--results", str(sp_res)],
+    )
+    mp_out, mp_res = tmp_path / "emb_mp.npz", tmp_path / "res_mp.json"
+    _launch(
+        2, 4, cfg, tmp_path, run_id="emp", child=extract, cli_style=True,
+        extra=["--split", "test", "--output", str(mp_out),
+               "--topk", "3", "--results", str(mp_res)],
+    )
+    sp = np.load(sp_out, allow_pickle=False)
+    mp = np.load(mp_out, allow_pickle=False)
+    assert set(sp.files) == set(mp.files)
+    for key in sp.files:
+        if np.issubdtype(sp[key].dtype, np.floating):
+            np.testing.assert_allclose(
+                sp[key], mp[key], rtol=1e-4, atol=1e-5, err_msg=key
+            )
+        else:
+            np.testing.assert_array_equal(sp[key], mp[key], err_msg=key)
+    res_sp = json.loads(sp_res.read_text())
+    res_mp = json.loads(mp_res.read_text())
+    assert len(res_sp) == len(res_mp)
+    for a, b in zip(res_sp, res_mp):
+        assert a["query_index"] == b["query_index"]
+        assert a["topk_indices"] == b["topk_indices"]
+        assert a.get("query_caption") == b.get("query_caption")
+        np.testing.assert_allclose(
+            a["topk_scores"], b["topk_scores"], rtol=1e-4, atol=1e-5
+        )
