@@ -14,7 +14,7 @@ import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -58,6 +58,7 @@ class RegionDataLoader:
         process_count: Optional[int] = None,
         prefetch: int = 2,
         length_grouped: bool = False,
+        length_buckets: Sequence[int] = (32, 48, 64),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +70,9 @@ class RegionDataLoader:
         # train-only (shuffled, drop_last) caption-length grouping — see
         # _length_group. Inert on eval loaders by construction.
         self.length_grouped = bool(length_grouped) and shuffle and drop_last
+        # class edges for _length_group; match trainer.text_buckets (the
+        # grouping still helps — batch maxes shrink — if they differ)
+        self.length_buckets = tuple(sorted(length_buckets))
         self._text_lens: Optional[np.ndarray] = None
         if process_index is None or process_count is None:
             import jax
@@ -85,30 +89,35 @@ class RegionDataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    _MEGABATCH_FACTOR = 8  # megabatch = factor x batch_size samples
-
     def _length_group(self, idx: np.ndarray) -> np.ndarray:
-        """Reorder this host's permutation slice so consecutive batches are
-        caption-length-homogeneous: chunk into megabatches of
-        8*batch_size, sort each by the dataset's length proxy (descending —
-        the longest, slowest batch of each megabatch runs first).
+        """Stably partition this host's (already epoch-shuffled) permutation
+        slice by caption-length BUCKET CLASS (the smallest length bucket a
+        sample fits, classes in ascending order), so consecutive batches pad
+        to the same small bucket.
 
         Why: prepare_batch (train/steps.py) trims each batch's token padding
         to the batch MAX, so one long caption in a random batch drags all
         128 rows to the big bucket; grouping makes the short-bucket fast
         band the TYPICAL band (PARITY.md #15 documents the sampling-
-        distribution deviation). Randomness is preserved across epochs: the
-        megabatch partition comes from the per-epoch permutation, and
-        __iter__ shuffles the final batch ORDER so epoch position doesn't
-        correlate with caption length."""
+        distribution deviation). Within each class the EPOCH PERMUTATION's
+        random order is preserved, so within-batch composition stays a
+        uniform draw from that class — on a long-tail distribution the
+        smallest class holds ~85%+ of samples, keeping contrastive
+        negatives nearly as diverse as uniform batching. (An earlier
+        sort-by-exact-length design made negatives length-correlated and
+        measurably hurt convergence — BENCH_NOTES round 4.) Only the
+        (few) class-boundary batches mix classes. __iter__ shuffles the
+        final batch ORDER so epoch position doesn't correlate with caption
+        length."""
         if self._text_lens is None:
             self._text_lens = np.asarray(self.dataset.text_lengths())
-        lens = self._text_lens
-        mega = self.batch_size * self._MEGABATCH_FACTOR
-        return np.concatenate([
-            c[np.argsort(-lens[c], kind="stable")]
-            for c in (idx[i : i + mega] for i in range(0, len(idx), mega))
-        ])
+        buckets = np.asarray(self.length_buckets)
+        # class c = first bucket >= length; len(buckets) = fits-none (pads
+        # to the full fixed length)
+        cls = np.searchsorted(buckets, self._text_lens[idx], side="left")
+        return np.concatenate(
+            [idx[cls == c] for c in range(len(buckets) + 1)]
+        )
 
     def _host_indices(self):
         """This host's sample indices, plus a per-sample validity array (or
@@ -377,6 +386,7 @@ class MultiDistTextObjectVideoDataLoader(RegionDataLoader):
         drop_last: Optional[bool] = None,
         seed: int = 0,
         length_grouped: bool = False,
+        length_buckets: Sequence[int] = (32, 48, 64),
     ):
         tsfm_dict = init_transform_dict(**(tsfm_params or {}))
         dataset = dataset_object_loader(
@@ -405,4 +415,5 @@ class MultiDistTextObjectVideoDataLoader(RegionDataLoader):
             drop_last=drop_last,
             seed=seed,
             length_grouped=length_grouped,
+            length_buckets=length_buckets,
         )
