@@ -183,6 +183,22 @@ def main() -> None:
         ),
         "vs_baseline": round(vs, 3),
     }
+    # typical-band secondary: the same step at text_len=32, the bucket
+    # most real (10-15 token) caption batches land in under the shipped
+    # -fast config's text_buckets + length_grouped (BENCH_NOTES round 4:
+    # 28/32 long-tail epoch batches; epoch-level A/B in bench_lengrouped.py).
+    # BENCH_FAST_BAND=0 skips it.
+    if (
+        text_len == 100
+        and os.environ.get("BENCH_FAST_BAND", "1") == "1"
+    ):
+        batch32 = dict(batch)
+        batch32["input_ids"] = batch["input_ids"][:, :32]
+        batch32["attention_mask"] = batch["attention_mask"][:, :32]
+        sb, sb_full = shard_batch(batch32, mesh), sb
+        out["fast_band_value"] = round(measure(local_dtype), 2)
+        out["fast_band_unit"] = "pairs/s/chip at text_len=32 (see unit)"
+        sb = sb_full
     # dual headline: also report the reference-exact-numerics (f32 local
     # loss) throughput so the perf claim and the reference-numerics claim
     # stay separable (BENCH_DUAL=0 skips the second measurement)
