@@ -98,7 +98,8 @@ def main() -> None:
     )
     tx = make_optimizer(lr=1e-5)
     mesh = create_mesh()
-    probe = assemble(False)[0]
+    plain_batches = assemble(False)  # assembled once; batch 0 doubles as the init probe
+    probe = plain_batches[0]
     params = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(0), probe))
     step = make_retrieval_train_step(model, loss, tx, mesh)
     rng = fast_prng_key(0)
@@ -143,7 +144,6 @@ def main() -> None:
         dt = time.perf_counter() - t0
         return global_b * len(batches) / dt / n_dev, shares
 
-    plain_batches = assemble(False)
     grouped_batches = assemble(True)
     plain, plain_shares = run(plain_batches)
     grouped, grouped_shares = run(grouped_batches)

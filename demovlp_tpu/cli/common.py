@@ -199,8 +199,13 @@ def load_pretrained_into(config: ConfigParser, params):
 
 
 def load_pretrained_params(config: ConfigParser, state):
-    """load_pretrained_into over a TrainState; optimizer state stays fresh."""
-    return state.replace(params=load_pretrained_into(config, state.params))
+    """load_pretrained_into over a TrainState; optimizer state stays fresh.
+    Identity no-op when arch.args.load_checkpoint is unset (callers rely on
+    `is` to detect that nothing was loaded)."""
+    params = load_pretrained_into(config, state.params)
+    if params is state.params:
+        return state
+    return state.replace(params=params)
 
 
 def build_serving_params(config: ConfigParser, model, template, mesh,

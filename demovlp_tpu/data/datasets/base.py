@@ -90,15 +90,43 @@ class RegionDataset:
         grouping never changes sample content, just which samples share a
         batch, so a dataset whose `_text` draws a random caption per fetch
         may return a different (correlated-length) caption later — harmless.
-        Pure metadata reads; no region IO."""
-        rng = np.random.default_rng(0)
-        out = np.empty(len(self), dtype=np.int32)
-        for i in range(len(self)):
-            t = self._text(i, rng)
-            if isinstance(t, (list, tuple)):
-                t = max((str(x) for x in t), key=len, default="")
-            out[i] = len(str(t).split())
-        return out
+        Pure metadata reads; no region IO. Cached on the instance (the
+        -fast pre-train config builds TWO train loaders over each dataset)
+        and vectorized over the metadata caption column when one exists —
+        the per-sample `_text` loop pays an iloc per row, a multi-minute
+        serial startup stall at CC3M scale (~3M captions)."""
+        cached = getattr(self, "_text_lens_cache", None)
+        if cached is not None:
+            return cached
+        lens = self._vectorized_text_lengths()
+        if lens is None:
+            rng = np.random.default_rng(0)
+            lens = np.empty(len(self), dtype=np.int32)
+            for i in range(len(self)):
+                t = self._text(i, rng)
+                if isinstance(t, (list, tuple)):
+                    t = max((str(x) for x in t), key=len, default="")
+                lens[i] = len(str(t).split())
+        self._text_lens_cache = lens
+        return lens
+
+    def _vectorized_text_lengths(self) -> Optional[np.ndarray]:
+        """Pandas-vectorized word counts when the metadata frame carries one
+        plain-string caption per sample; None -> caller falls back to the
+        per-sample `_text` loop (list-valued captions, generated text, or a
+        metadata/sample-count mismatch)."""
+        md = getattr(self, "metadata", None)
+        if (
+            md is None
+            or not hasattr(md, "columns")
+            or "caption" not in getattr(md, "columns", ())
+            or len(md) != len(self)
+        ):
+            return None
+        col = md["caption"]
+        if not col.map(lambda t: isinstance(t, str)).all():
+            return None
+        return col.str.split().str.len().to_numpy(np.int32)
 
     def _frame_indices(self, vlen: int, rng: np.random.Generator):
         if self.split == "train":

@@ -12,6 +12,7 @@ import os
 import random
 from typing import Any, Dict
 
+import numpy as np
 import pandas as pd
 
 from demovlp_tpu.data.datasets.base import RegionDataset
@@ -42,6 +43,19 @@ class MSVDObjectSelect(RegionDataset):
     def _text(self, index: int, rng) -> str:
         # first of the comma-joined captions (reference MSVD_dataset.py:54-55)
         return self.metadata.iloc[index]["caption"].split(",")[0]
+
+    def _vectorized_text_lengths(self):
+        # the "caption" column is comma-joined; _text serves only the first
+        # segment, so count that (the base-class path would count them all)
+        col = self.metadata["caption"]
+        if len(col) != len(self) or not col.map(
+            lambda t: isinstance(t, str)
+        ).all():
+            return None
+        return (
+            col.str.split(",").str[0].str.split().str.len()
+            .to_numpy(np.int32)
+        )
 
 
 class MSVDQAObjectSelect(RegionDataset):

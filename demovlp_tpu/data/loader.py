@@ -90,10 +90,12 @@ class RegionDataLoader:
         self.epoch = epoch
 
     def _length_group(self, idx: np.ndarray) -> np.ndarray:
-        """Stably partition this host's (already epoch-shuffled) permutation
-        slice by caption-length BUCKET CLASS (the smallest length bucket a
-        sample fits, classes in ascending order), so consecutive batches pad
-        to the same small bucket.
+        """Stably partition an (already epoch-shuffled) permutation by
+        caption-length BUCKET CLASS (the smallest length bucket a sample
+        fits, classes in ascending order), so consecutive batches pad to
+        the same small bucket. Applied to the GLOBAL truncated permutation
+        before host striding (see _host_indices) so every host sees the
+        same class boundaries at the same step index.
 
         Why: prepare_batch (train/steps.py) trims each batch's token padding
         to the batch MAX, so one long caption in a random batch drags all
@@ -151,9 +153,18 @@ class RegionDataLoader:
                     f"{self.process_count} hosts"
                 )
             order = order[: per_host * self.process_count]
-            host = order[self.process_index :: self.process_count]
             if self.length_grouped:
-                host = self._length_group(host)
+                # group the GLOBAL truncated permutation BEFORE striding:
+                # host h's batch j then draws from the same global window
+                # order[j*B*P:(j+1)*B*P] on every host, so per-host class
+                # boundaries align and the cross-process bucket sync in
+                # prepare_batch (train/steps.py) almost never widens a
+                # batch past its own class edge. Per-host grouping of the
+                # strided slice would give each host different class
+                # boundaries — step j could be class 0 on one host and
+                # class 1 on another, wasting the grouping win.
+                order = self._length_group(order)
+            host = order[self.process_index :: self.process_count]
             return host, None
         share = -(-n // self.process_count)
         total = share * self.process_count

@@ -26,8 +26,16 @@ _reader_failed = False
 
 
 def build_library(force: bool = False) -> Optional[Path]:
-    """Compile the shared library with g++ (no external build system)."""
-    if _LIB.exists() and not force:
+    """Compile the shared library with g++ (no external build system).
+
+    Rebuilds when the source is newer than the cached .so, so a source
+    update is never served by a stale library.
+    """
+    if (
+        _LIB.exists()
+        and not force
+        and (not _SRC.exists() or _LIB.stat().st_mtime >= _SRC.stat().st_mtime)
+    ):
         return _LIB
     if not _SRC.exists():
         return None

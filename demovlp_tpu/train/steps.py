@@ -60,6 +60,21 @@ def prepare_batch(
         target = min(
             (b for b in text_buckets if longest <= b < L), default=L
         )
+        # Multi-process: the bucket must be decided from the GLOBAL batch,
+        # not this host's shard — shard_batch assembles the global array
+        # from identically-shaped local shards, and a per-host choice would
+        # dispatch differently-shaped collective train steps across
+        # processes (distributed deadlock). max over hosts of the local
+        # bucket == the bucket of the global longest caption (the bucket
+        # map is monotone), i.e. exactly what a single process holding the
+        # whole batch would pick. Equal per-host batch counts (loader
+        # drop_last / eval wrap-pad) keep this tiny allgather aligned.
+        if jax.process_count() > 1:
+            from demovlp_tpu.parallel.mesh import host_allgather
+
+            target = int(
+                host_allgather(np.asarray([target], np.int32)).max()
+            )
         if target < L:
             enc = {
                 "input_ids": enc["input_ids"][:, :target],

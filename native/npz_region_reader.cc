@@ -287,13 +287,20 @@ struct Unpickler {
   int32_t i32() { int32_t v; memcpy(&v, p + pos, 4); pos += 4; return v; }
   uint64_t u64() { uint64_t v; memcpy(&v, p + pos, 8); pos += 8; return v; }
 
+  size_t memo_puts = 0;
+
   void memo_put(PPtr v, size_t idx) {
     // LONG_BINPUT indices are attacker-controlled u32s: a sparse 4-billion
-    // slot would allocate GBs — cap the memo table, it only needs as many
-    // slots as values pushed so far
-    if (idx > stack.size() + memo.size() + 1024) { bad = true; return; }
+    // slot would allocate GBs. A cap relative to the CURRENT table size is
+    // not enough — a stream of puts each just under the cap ratchets the
+    // table up by the slack amount per opcode (multi-GB from a 1 MB
+    // member). CPython assigns memo indices densely, so bound idx by the
+    // total number of puts so far, plus an absolute ceiling (a legitimate
+    // npy-header pickle memoizes a handful of objects).
+    if (idx > memo_puts + 64 || idx >= (1u << 20)) { bad = true; return; }
     if (memo.size() <= idx) memo.resize(idx + 1);
     memo[idx] = v;
+    ++memo_puts;
   }
 
   PPtr pop() {

@@ -48,6 +48,21 @@ def main() -> int:
     env["ASAN_OPTIONS"] = "detect_leaks=0:abort_on_error=1"
     env["DEMOVLP_NATIVE_LIB"] = str(lib)
     env["PYTHONPATH"] = str(REPO)
+
+    # Preflight: the sanitized library must actually dlopen in the child.
+    # get_native_reader() returns None on a load failure, which would make
+    # every needs_native test SKIP and pytest exit 0 — a vacuous PASS.
+    preflight = subprocess.run(
+        [sys.executable, "-c",
+         "from demovlp_tpu.data.native import get_native_reader; "
+         "import sys; sys.exit(0 if get_native_reader() is not None else 3)"],
+        env=env, cwd=REPO,
+    ).returncode
+    if preflight != 0:
+        print("ASAN+UBSAN matrix: FAIL (sanitized library did not load; "
+              "the matrix would have skipped, not passed)")
+        return 3
+
     cmd = [
         sys.executable, "-m", "pytest",
         str(REPO / "tests" / "test_native_adversarial.py"),
@@ -55,7 +70,15 @@ def main() -> int:
         "-q", "-p", "no:cacheprovider",
     ]
     print("+", " ".join(cmd))
-    rc = subprocess.run(cmd, env=env, cwd=REPO).returncode
+    proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True, text=True)
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr)
+    rc = proc.returncode
+    # A skipped native test means the matrix did not execute the C++ under
+    # the sanitizer — treat it as a failure, not a pass.
+    if rc == 0 and " skipped" in proc.stdout:
+        print("ASAN+UBSAN matrix: FAIL (tests skipped under the sanitizer)")
+        return 4
     print("ASAN+UBSAN matrix:", "PASS" if rc == 0 else f"FAIL rc={rc}")
     return rc
 

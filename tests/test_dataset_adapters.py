@@ -177,3 +177,51 @@ def test_lsmdc_retrieval_and_mc(meta_env, tmp_path):
     assert item["text"] == [f"option {i}" for i in range(5)]
     assert item["label"] == 1  # answer col 2 -> index 1
     assert mc.id2answer[clip] == 1
+
+
+def _loop_text_lengths(ds):
+    """The per-sample reference path for text_lengths (base.py fallback),
+    run explicitly to pin the vectorized fast path against it."""
+    rng = np.random.default_rng(0)
+    out = []
+    for i in range(len(ds)):
+        t = ds._text(i, rng)
+        if isinstance(t, (list, tuple)):
+            t = max((str(x) for x in t), key=len, default="")
+        out.append(len(str(t).split()))
+    return np.asarray(out, np.int32)
+
+
+def test_text_lengths_vectorized_matches_loop(meta_env):
+    """The pandas-vectorized text_lengths fast path (incl. MSVD's
+    comma-joined caption column, where only the first segment counts) must
+    agree with the per-sample loop, and the result is cached per instance."""
+    meta, root = meta_env
+    (meta / "webvid_training_success_full.tsv").write_text(
+        "a cat video plays\t000001_000050/123\nclip\t000001_000050/456\n"
+    )
+    (meta / "MSVD_train.tsv").write_text(
+        "cap one word, a much longer second caption here\tvidA_1_10\n"
+        "single\tvidB_2_20\n"
+    )
+    objdir = root / "tl"
+    for rel in ("000001_000050/123", "000001_000050/456"):
+        _video_dir(objdir / "train", rel, n_frames=2)
+    for rel in ("vidA_1_10", "vidB_2_20"):
+        _video_dir(objdir, rel, n_frames=2)
+
+    wv = dataset_object_loader(
+        "WebVidObjectSelect", text_params={}, object_params=OBJ_P,
+        object_dir=str(objdir), split="train",
+    )
+    msvd = dataset_object_loader(
+        "MSVDObjectSelect", text_params={}, object_params=OBJ_P,
+        object_dir=str(objdir), split="train",
+    )
+    for ds in (wv, msvd):
+        # the fast path must be the one actually taken on these frames
+        assert ds._vectorized_text_lengths() is not None
+        lens = ds.text_lengths()
+        np.testing.assert_array_equal(lens, _loop_text_lengths(ds))
+        assert ds.text_lengths() is lens  # instance cache
+    assert msvd.text_lengths().tolist() == [3, 1]  # first comma segment only

@@ -142,6 +142,26 @@ def test_multihost_partition_disjoint_and_equal():
     assert not (set(per_host[0]) & set(per_host[1]))
 
 
+def test_multihost_batches_draw_from_shared_global_windows():
+    """Grouping happens on the GLOBAL permutation before host striding, so
+    step j's global batch (union of every host's batch j) is the same
+    sample set at ANY process count — the same contract the ungrouped
+    loader gives the real multi-process run (tests/test_multiprocess.py),
+    and what keeps per-host bucket choices aligned (the cross-process
+    bucket sync in prepare_batch then almost never widens a batch past its
+    own class edge)."""
+    ds = _ds(256)
+    single = _batch_indices(_loader(ds, bs=8, process_count=1))
+    hosts = [
+        _batch_indices(_loader(ds, bs=4, process_index=pi, process_count=2))
+        for pi in range(2)
+    ]
+    assert len(hosts[0]) == len(hosts[1]) == len(single)
+    for j, sp_batch in enumerate(single):
+        union = set(hosts[0][j]) | set(hosts[1][j])
+        assert union == set(sp_batch), j
+
+
 def test_inert_on_eval_loaders():
     """length_grouped is train-only: an unshuffled / keep-last loader must
     ignore it (eval order is the dataset order contract)."""

@@ -47,7 +47,9 @@ def _free_port() -> int:
     return port
 
 
-def _mp_config(tmp_path, batch_size: int, epochs: int = 1) -> Path:
+def _mp_config(
+    tmp_path, batch_size: int, epochs: int = 1, fast: bool = False
+) -> Path:
     cfg = json.loads(
         (REPO / "configs" / "smoke" / "synthetic_retrieval.json").read_text()
     )
@@ -58,10 +60,22 @@ def _mp_config(tmp_path, batch_size: int, epochs: int = 1) -> Path:
     cfg["arch"]["args"]["text_params"]["config"]["attention_dropout"] = 0.0
     cfg["data_loader"]["args"]["batch_size"] = batch_size
     cfg["data_loader"]["args"]["num_workers"] = 1
+    if fast:
+        # the shipped -fast knob set (configs/pt/*-fast.json) at smoke
+        # scale: long-tail caption lengths so batches straddle bucket edges
+        cfg["name"] += "Fast"
+        cfg["data_loader"]["args"]["length_grouped"] = True
+        cfg["data_loader"]["args"]["length_buckets"] = [8, 12, 16]
+        cfg["data_loader"]["args"]["object_params"]["caption_style"] = (
+            "long_tail"
+        )
+        cfg["trainer"]["text_buckets"] = [8, 12, 16]
     cfg["trainer"]["save_dir"] = str(tmp_path / "exps")
     cfg["trainer"]["epochs"] = epochs
     cfg["trainer"]["init_val"] = False
-    p = tmp_path / f"cfg_bs{batch_size}_ep{epochs}.json"
+    p = tmp_path / (
+        f"cfg_bs{batch_size}_ep{epochs}{'_fast' if fast else ''}.json"
+    )
     p.write_text(json.dumps(cfg))
     return p
 
@@ -191,6 +205,25 @@ def test_four_process_matches_single(single_process_run, tmp_path):
         assert p["process_count"] == 4
         assert p["device_count"] == 8
     _assert_metrics_match(single_process_run["log"], payloads[0]["log"], 4)
+
+
+def test_two_process_fast_knobs_match_single(tmp_path):
+    """The shipped -fast knob set (trainer.text_buckets +
+    data_loader.args.length_grouped) under a REAL 2-process topology.
+    Exercises the two layers that keep per-process batch shapes identical:
+    the loader groups the GLOBAL permutation before host striding, and
+    prepare_batch gathers the bucket choice across processes (a per-host
+    choice would dispatch differently-shaped collective train steps —
+    distributed deadlock; this test hangs into its timeout without the
+    sync). Global batch j draws from the same global sample window at any
+    process count, so metrics must match the single-process run."""
+    sp_cfg = _mp_config(tmp_path, batch_size=8, fast=True)
+    (sp,) = _launch(1, 8, sp_cfg, tmp_path, run_id="fsp")
+    mp_cfg = _mp_config(tmp_path, batch_size=4, fast=True)
+    payloads = _launch(2, 4, mp_cfg, tmp_path, run_id="fmp")
+    for key in METRIC_KEYS + ["val_loss_0"]:
+        assert payloads[0]["log"][key] == payloads[1]["log"][key], key
+    _assert_metrics_match(sp["log"], payloads[0]["log"], 2)
 
 
 def test_two_process_checkpoint_resume(tmp_path):

@@ -387,6 +387,13 @@ PICKLE_CASES = [
     ("no_stop", b"\x80\x04N"),
     # BINGET of an unset memo slot
     ("unset_memo_get", b"\x80\x04h\x10."),
+    # memo RATCHET: a stream of LONG_BINPUTs whose indices each step up by
+    # ~1k — a per-opcode relative cap admits every step while the table
+    # ratchets toward GBs; the total-puts bound must reject it immediately
+    ("memo_ratchet", b"\x80\x04" + b"".join(
+        b"N" + b"r" + struct.pack("<I", (i + 1) * 1000) + b"0"
+        for i in range(200)
+    ) + b"N."),
 ]
 
 
