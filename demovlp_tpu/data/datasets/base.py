@@ -195,10 +195,15 @@ class RegionDataset:
             raise RuntimeError(
                 f"{self.dataset_name}: no readable sample after {_MAX_RETRIES} tries"
             )
+        text = self._text(item, rng)
         data = {
-            "text": self._text(item, rng),
+            "text": text,
             "meta": {
                 "paths": self._object_path(item),
+                # reference datasets expose the raw caption in meta
+                # (e.g. MSRVTT_dataset.py:159) — the visualizer and the
+                # serving index read it
+                "raw_captions": text,
                 "dataset": self.dataset_name,
             },
         }
@@ -219,13 +224,17 @@ class RegionDataset:
                 f"{self.dataset_name}: no readable sample after {_MAX_RETRIES} tries"
             )
         obj, obj_mask, obj_len = loaded
+        text = self._text(item, rng)
         data = {
             "object": obj,
             "object_mask": obj_mask,
             "object_len": obj_len,
-            "text": self._text(item, rng),
+            "text": text,
             "meta": {
                 "paths": self._object_path(item),
+                # reference parity: raw caption rides in meta
+                # (MSRVTT_dataset.py:159)
+                "raw_captions": text,
                 "dataset": self.dataset_name,
             },
         }

@@ -28,7 +28,8 @@ import numpy as np
 
 from demovlp_tpu.ops.masking import additive_mask
 from demovlp_tpu.ops.similarity import sim_matrix
-from demovlp_tpu.parallel.mesh import (batch_sharding, fetch_local_rows,
+from demovlp_tpu.parallel.mesh import (DATA_AXIS, batch_sharding,
+                                        fetch_local_rows,
                                         host_allgather_pylist,
                                         host_allgather_ragged,
                                         replicated_sharding, shard_batch)
@@ -133,6 +134,172 @@ def embed_loader(
         "raw_captions": host_allgather_pylist(captions),
     }
     return cat, meta
+
+
+def make_text_embed_step(model, mesh) -> Callable:
+    """Text-tower-only jitted forward for ad-hoc retrieval queries: the
+    embedding step minus the object tower (reference model.py compute_text
+    — the reference can only run it inside a full forward). Same params
+    contract as make_embed_step: in_sharding None inherits the committed
+    layout, so TP-committed params work unchanged."""
+
+    def step(params, input_ids, attention_mask):
+        g_t, l_t = model.apply(
+            params, input_ids, attention_mask, True, method="compute_text"
+        )
+        return {
+            "g_t": g_t,
+            "l_t": l_t,
+            "t_mask": additive_mask(attention_mask[:, 1:]),
+        }
+
+    dat = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(None, dat, dat), out_shardings=dat)
+
+
+def embed_texts(
+    text_step: Callable,
+    params,
+    queries,
+    tokenizer,
+    mesh,
+    *,
+    batch_size: int = 128,
+    max_text_len: int = 100,
+) -> Dict[str, np.ndarray]:
+    """Embed ad-hoc query strings through the text tower only.
+
+    Every process passes the SAME `queries` list; rows are split
+    contiguously across processes (the shard_batch process-order contract,
+    parallel/mesh.py) and reassembled in order with the same ragged gather
+    as embed_loader, so every host gets exactly len(queries) result rows.
+    All hosts run the same number of identically-shaped dispatches (pad
+    rows fill ragged tails), keeping collective steps aligned.
+
+    Returns {'g_t' (N,D), 'l_t' (N,L-1,D), 't_mask' additive (N,L-1)}.
+    """
+    if not queries:
+        raise ValueError("embed_texts: empty query list")
+    queries = [str(q) for q in queries]
+    nproc = jax.process_count()
+    per = -(-len(queries) // nproc)  # rows per host, last host may be short
+    lo = per * jax.process_index()
+    local = queries[lo:lo + per]
+    # the chunk's GLOBAL batch (nproc * bs) must divide over the mesh's
+    # 'data' axis: round the per-host chunk up to a data-axis multiple
+    ndata = dict(mesh.shape).get(DATA_AXIS, 1)
+    bs = max(1, min(batch_size, per))
+    bs = -(-bs // ndata) * ndata
+    outs: Dict[str, List[np.ndarray]] = {k: [] for k in ("g_t", "l_t", "t_mask")}
+    pending = None
+
+    def drain(out, keep) -> None:
+        for k in outs:
+            outs[k].append(fetch_local_rows(out[k])[keep])
+
+    # one batch in flight, as in embed_loader
+    for s in range(0, per, bs):
+        chunk = local[s:s + bs]
+        keep = np.arange(bs) < len(chunk)
+        chunk = chunk + [""] * (bs - len(chunk))
+        enc = tokenizer(chunk, max_length=max_text_len)
+        sharded = shard_batch(
+            {"input_ids": enc["input_ids"],
+             "attention_mask": enc["attention_mask"]},
+            mesh,
+        )
+        out = text_step(params, sharded["input_ids"],
+                        sharded["attention_mask"])
+        if pending is not None:
+            drain(*pending)
+        pending = (out, keep)
+    if pending is not None:
+        drain(*pending)
+    cat = {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+    if nproc > 1:
+        cat = {k: host_allgather_ragged(v) for k, v in cat.items()}
+    return cat
+
+
+def load_index(path) -> Tuple[Dict[str, np.ndarray], Dict[str, List[str]]]:
+    """Read back the npz scripts/extract_embeddings.py writes: (cat, meta)
+    exactly as embed_loader returned them (missing keys tolerated, so a
+    gallery-only npz works for querying)."""
+    z = np.load(path, allow_pickle=False)
+    cat = {k: z[k] for k in EMBED_KEYS if k in z.files}
+    meta = {
+        k: [str(s) for s in z[k]]
+        for k in ("paths", "raw_captions")
+        if k in z.files
+    }
+    return cat, meta
+
+
+def query_retrieval(
+    text_step: Callable,
+    params,
+    queries,
+    tokenizer,
+    gallery: Dict[str, np.ndarray],
+    mesh,
+    *,
+    k: int = 10,
+    use_local: bool = True,
+    lambda_softmax: float = 20.0,
+    focal_type: str = "prob",
+    segment: int = 64,
+    backend: str = "auto",
+    mscoco_dedup: bool = False,
+    gallery_meta: Dict[str, List[str]] | None = None,
+    batch_size: int = 128,
+) -> List[Dict[str, Any]]:
+    """Free-text -> top-k gallery videos against a prebuilt index.
+
+    `gallery` is the dict embed_loader returns (or load_index reads back);
+    only the video-side keys (g_o, l_o, o_mask) are consulted. Scoring:
+    global cosine + (if use_local) the mesh-sharded local cross-attention
+    sims. The query/gallery matrix is non-square, where the reference's
+    elementwise quirk sum (trainer_dist.py:369-385 pairs local(video_i,
+    text_j) with global(text_i, video_j)) is undefined — the transpose
+    convention from the MSCOCO-dedup case applies (PARITY.md #16): local
+    is computed (gallery video, query text) and transposed onto the
+    (query, gallery) global sims. Under mscoco_dedup the gallery is
+    deduped to every 5th row before scoring and topk_indices are mapped
+    back to undeduped npz-row coordinates (as in the extraction CLI)."""
+    q = embed_texts(
+        text_step, params, queries, tokenizer, mesh, batch_size=batch_size
+    )
+    gal = gallery
+    if mscoco_dedup:
+        gal = {key: v[::5] for key, v in gallery.items()}
+        if gallery_meta is not None:
+            gallery_meta = {key: v[::5] for key, v in gallery_meta.items()}
+    sims = np.asarray(
+        sim_matrix(q["g_t"].astype(np.float32),
+                   gal["g_o"].astype(np.float32))
+    )
+    if use_local:
+        local = sharded_local_sims(
+            gal["l_o"],
+            q["l_t"],
+            gal["o_mask"],
+            q["t_mask"],
+            mesh,
+            segment=segment,
+            lambda_softmax=lambda_softmax,
+            focal_type=focal_type,
+            backend=backend,
+        )
+        sims = sims + np.asarray(local).T  # (query, gallery)
+    results = topk_retrieval(
+        sims, k=k,
+        query_meta={"raw_captions": [str(s) for s in queries]},
+        gallery_meta=gallery_meta,
+    )
+    if mscoco_dedup:
+        for r in results:
+            r["topk_indices"] = [5 * i for i in r["topk_indices"]]
+    return results
 
 
 def combined_sims(
