@@ -62,6 +62,8 @@ def build_model(config: ConfigParser, mesh=None):
     )
     if "num_label" in obj_p:
         kwargs["num_label"] = int(obj_p["num_label"])
+    if "head_dropout" in obj_p:  # QA-only (BUTD attention dropout)
+        kwargs["head_dropout"] = float(obj_p["head_dropout"])
     for src, dst in (
         ("embed_dim", "object_embed_dim"),
         ("depth", "object_depth"),
@@ -103,9 +105,11 @@ def build_model(config: ConfigParser, mesh=None):
         kwargs["remat"] = True
     registry._populate()
     ctor = registry.lookup("arch", arch["type"])
-    # QA arch requires num_label; retrieval/MC ignore it
-    if "num_label" in kwargs and arch["type"] != "ObjectQARelation":
-        kwargs.pop("num_label")
+    # QA arch requires num_label; retrieval/MC ignore it (same for the
+    # QA-head dropout knob)
+    if arch["type"] != "ObjectQARelation":
+        kwargs.pop("num_label", None)
+        kwargs.pop("head_dropout", None)
     model = ctor(**kwargs)
     return model
 

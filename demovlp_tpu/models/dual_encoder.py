@@ -172,6 +172,7 @@ class ObjectQARelation(nn.Module):
     object_depth: int = 12
     object_heads: int = 12
     attn_impl: str = "dense"
+    head_dropout: float = 0.2  # BUTD attention dropout (reference :63)
     dtype: Any = jnp.float32
     norm_dtype: Any = jnp.float32  # see ObjectRelation
     remat: bool = False
@@ -201,6 +202,7 @@ class ObjectQARelation(nn.Module):
             q_dim=self.projection_dim,
             hid_dim=self.projection_dim,
             out_dim=self.num_label,
+            dropout=self.head_dropout,
             dtype=self.dtype,
             name="head",
         )

@@ -62,6 +62,7 @@ class BUTDQAHead(nn.Module):
     q_dim: int
     hid_dim: int
     out_dim: int
+    dropout: float = 0.2  # reference Attention dropout (video_qa_mdoel.py:63)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -69,7 +70,8 @@ class BUTDQAHead(nn.Module):
         """txt_embed (B, q_dim); obj_embed (B, K, v_dim); obj_mask (B, K) binary.
         Returns logits (B, out_dim)."""
         att, _ = QAAttention(
-            self.v_dim, self.q_dim, self.hid_dim, dtype=self.dtype, name="v_att"
+            self.v_dim, self.q_dim, self.hid_dim, dropout=self.dropout,
+            dtype=self.dtype, name="v_att"
         )(obj_embed, obj_mask, txt_embed, deterministic)
         pooled = jnp.sum(att * obj_embed, axis=1)
         return SimpleClassifier(

@@ -38,10 +38,24 @@ def setup_distributed() -> None:
     # state, keeping repeat calls (second trainer, retries) idempotent.
     if jax.distributed.is_initialized():
         return
+    # Explicit coordination-service timeouts, overridable via env. On a box
+    # with fewer cores than processes (CPU tests on small machines), a
+    # time-sliced worker can miss the default heartbeat/shutdown deadlines
+    # (observed: DEADLINE_EXCEEDED at the shutdown barrier, 3/4 tasks, on a
+    # 1-core host) — callers oversubscribing cores should raise these.
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
         process_id=int(os.environ["JAX_PROCESS_ID"]),
+        initialization_timeout=int(
+            os.environ.get("DEMOVLP_DIST_INIT_TIMEOUT_S", 300)
+        ),
+        heartbeat_timeout_seconds=int(
+            os.environ.get("DEMOVLP_DIST_HEARTBEAT_TIMEOUT_S", 100)
+        ),
+        shutdown_timeout_seconds=int(
+            os.environ.get("DEMOVLP_DIST_SHUTDOWN_TIMEOUT_S", 300)
+        ),
     )
 
 

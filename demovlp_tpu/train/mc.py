@@ -180,9 +180,12 @@ class MCTrainer(BaseTrainer):
         params = self.state.params
         nested_metrics: Dict[int, Dict[str, Any]] = {}
         pred_id2answer: Dict[int, Dict] = {}
+        # default 1 so a trainer assembled without __init__ (the parity tests
+        # build via object.__new__) follows the reference-shaped bs=1 path
+        mc_eval_batch = getattr(self, "mc_eval_batch", 1)
         for dl_idx, dl in enumerate(self.valid_data_loader):
             preds: Dict = {}
-            if self.mc_eval_batch > 1:
+            if mc_eval_batch > 1:
                 self._valid_batched(dl, params, preds)
             else:
                 for data in dl:

@@ -136,14 +136,83 @@ def pack_small_leaves(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class ReferenceAdamWState(NamedTuple):
+    count: Any
+    mu: Any
+    nu: Any
+
+
+def _reference_adamw_core(learning_rate, b1, b2, eps, weight_decay,
+                          mu_dtype=None):
+    """transformers' legacy AdamW update math, EXACTLY (the reference's
+    actual optimizer: train_dist_multi.py:64 builds from the transformers
+    module, requirements.txt pins transformers==4.10.0, whose
+    optimization.AdamW.step applies bias correction as a step-size factor
+    over an UNcorrected denominator):
+
+        m <- b1*m + (1-b1)*g ;  v <- b2*v + (1-b2)*g^2
+        p <- p - lr * (sqrt(1-b2^t)/(1-b1^t)) * m / (sqrt(v) + eps)
+        p <- p - lr * wd * p          # decay on the POST-step p, at raw lr
+
+    optax.adamw instead corrects inside the root (m_hat/(sqrt(v_hat)+eps)):
+    the effective eps differs by 1/sqrt(1-b2^t) — ~32x at step 1 with
+    eps=1e-6, decaying to parity over ~1/(1-b2) steps. Pinned by
+    tests/test_optimizer_parity.py; deviation documented as PARITY.md #17.
+    """
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return ReferenceAdamWState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update_fn(grads, state, params=None):
+        if params is None:
+            raise ValueError("reference_exact AdamW needs params (weight decay)")
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        # bias correction as a step-size factor (transformers 4.10
+        # optimization.py: step_size * sqrt(bias_correction2)/bias_correction1)
+        step_size = learning_rate * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(g.dtype) + (1.0 - b1) * g,
+            state.mu, grads,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, grads
+        )
+
+        def upd(m, v, p):
+            delta = -step_size * m / (jnp.sqrt(v) + eps)
+            # sequential decay semantics: applied to the post-step param
+            return delta - learning_rate * weight_decay * (p + delta)
+
+        updates = jax.tree_util.tree_map(upd, mu, nu, params)
+        if mu_dtype is not None:
+            mu = jax.tree_util.tree_map(
+                lambda m: m.astype(mu_dtype), mu
+            )
+        return updates, ReferenceAdamWState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _adamw(
     learning_rate, b1, b2, eps, weight_decay, max_grad_norm=None,
-    mu_dtype=None, pack_small=False,
+    mu_dtype=None, pack_small=False, reference_exact=False,
 ):
-    tx = optax.adamw(
-        learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
-        mu_dtype=mu_dtype,
-    )
+    if reference_exact:
+        tx = _reference_adamw_core(
+            learning_rate, b1, b2, eps, weight_decay, mu_dtype=mu_dtype
+        )
+    else:
+        tx = optax.adamw(
+            learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay,
+            mu_dtype=mu_dtype,
+        )
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     if pack_small:
@@ -160,8 +229,15 @@ def make_optimizer(
     max_grad_norm: float | None = None,
     mu_dtype: str | None = None,
     pack_small: bool = False,
+    reference_exact: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW matching transformers.AdamW defaults, learning rate injected.
+
+    reference_exact: opt-in bit-faithful reproduction of transformers 4.10's
+    AdamW update math (uncorrected denominator + step-size bias correction +
+    post-step weight decay — see _reference_adamw_core). Default False =
+    optax.adamw (corrected denominator); the difference is an effective-eps
+    schedule, measured and bounded in PARITY.md #17.
 
     mu_dtype: storage dtype for the first moment (e.g. "bfloat16" halves its
     HBM traffic/footprint — ~4 B/param of the 28 B/param update stream).
@@ -175,7 +251,9 @@ def make_optimizer(
     big leaves' mu/nu would fall back to replicated — keep it off there.
     """
     return optax.inject_hyperparams(
-        _adamw, static_args=("max_grad_norm", "mu_dtype", "pack_small")
+        _adamw,
+        static_args=("max_grad_norm", "mu_dtype", "pack_small",
+                     "reference_exact"),
     )(
         learning_rate=lr,
         b1=b1,
@@ -185,4 +263,5 @@ def make_optimizer(
         max_grad_norm=max_grad_norm,
         mu_dtype=None if mu_dtype is None else jnp.dtype(mu_dtype),
         pack_small=pack_small,
+        reference_exact=reference_exact,
     )

@@ -2,7 +2,8 @@
 (tests/test_multiprocess.py). Runs one JAX process of an N-process CPU
 training job and dumps the final flattened log as JSON.
 
-Usage:  python tests/mp_child_train.py <config.json> <out.json> [-r CKPT]
+Usage:  python tests/mp_child_train.py <config.json> <out.json> \
+            [--task retrieval|qa|mc] [-r CKPT]
 
 The caller provides the process topology via the standard env contract
 (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — see
@@ -34,14 +35,23 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
 
     cfg_path, out_path = sys.argv[1], sys.argv[2]
-    argv = ["-c", cfg_path] + sys.argv[3:]
+    rest = sys.argv[3:]
+    task = "retrieval"
+    if "--task" in rest:
+        i = rest.index("--task")
+        task = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    argv = ["-c", cfg_path] + rest
 
     from demovlp_tpu.cli import train as train_cli
+    from demovlp_tpu.cli import train_mc as mc_cli
+    from demovlp_tpu.cli import train_qa as qa_cli
     from demovlp_tpu.config import ConfigParser, build_argparser
 
+    cli = {"retrieval": train_cli, "qa": qa_cli, "mc": mc_cli}[task]
     args = build_argparser().parse_args(argv)
     config = ConfigParser(args)
-    log = train_cli.run(config, args)
+    log = cli.run(config, args)
 
     payload = {
         "process_index": jax.process_index(),
