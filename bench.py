@@ -183,6 +183,44 @@ def main() -> None:
         ),
         "vs_baseline": round(vs, 3),
     }
+    # absolute efficiency: MFU = per-chip flops/s over peak bf16 — the
+    # BASELINE.json "speed-of-light" target tracked by the artifact itself
+    # (utils/flops.py). Flops from XLA's cost analysis of the ACTUAL
+    # compiled step (fwd+bwd+AdamW), analytic-model fallback + cross-check.
+    try:
+        from demovlp_tpu.utils import flops as flops_mod
+
+        loss_for_mfu = GlobalLocalLoss(
+            use_local=use_local, use_global=True, coef=1.0,
+            focal_type="equal", local_block_segment=block,
+            local_dtype=local_dtype, local_remat=local_remat,
+        )
+        step_for_mfu = make_retrieval_train_step(
+            model, loss_for_mfu, tx, mesh, deterministic=deterministic,
+        )
+        state0 = TrainState.create(jax.tree.map(jnp.asarray, params), tx)
+        step_flops = flops_mod.compiled_step_flops(
+            step_for_mfu, state0, sb, 1e-5, step_rng, num_partitions=n_dev
+        )
+        model_flops = flops_mod.retrieval_step_flops_model(
+            global_b, f, k, text_len, obj_depth=obj_depth,
+            text_layers=text_layers, use_local=use_local,
+        )
+        basis = "xla_cost_analysis" if step_flops else "analytic_model"
+        step_flops = step_flops or model_flops
+        steps_per_sec = per_chip / b  # pairs/s/chip over pairs/chip/step
+        eff = flops_mod.mfu(
+            (step_flops / n_dev) * steps_per_sec, jax.devices()[0]
+        )
+        out["step_gflops"] = round(step_flops / 1e9, 1)
+        out["model_gflops"] = round(model_flops / 1e9, 1)
+        out["mfu_basis"] = basis
+        if eff is not None:
+            out["mfu"] = round(eff, 4)
+        else:
+            out["mfu"] = None  # unknown peak (CPU test backend)
+    except Exception as e:  # pragma: no cover - defensive
+        out["mfu_error"] = f"{type(e).__name__}: {e}"
     # typical-band secondary: the same step at text_len=32, the bucket
     # most real (10-15 token) caption batches land in under the shipped
     # -fast config's text_buckets + length_grouped (BENCH_NOTES round 4:

@@ -196,6 +196,13 @@ class RegionDataset:
                 f"{self.dataset_name}: no readable sample after {_MAX_RETRIES} tries"
             )
         text = self._text(item, rng)
+        # MC datasets return the options LIST from _text; meta keeps the
+        # reference's raw-caption-STRING convention (base_dataset.py:130) so
+        # the serving index never stores a Python-repr'd list — use the
+        # first (ground-truth-ordered) option as the canonical caption
+        raw_caption = (
+            text[0] if isinstance(text, (list, tuple)) and text else text
+        )
         data = {
             "text": text,
             "meta": {
@@ -203,7 +210,7 @@ class RegionDataset:
                 # reference datasets expose the raw caption in meta
                 # (e.g. MSRVTT_dataset.py:159) — the visualizer and the
                 # serving index read it
-                "raw_captions": text,
+                "raw_captions": raw_caption,
                 "dataset": self.dataset_name,
             },
         }

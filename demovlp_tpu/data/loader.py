@@ -69,6 +69,11 @@ class RegionDataLoader:
         self.epoch = 0
         # train-only (shuffled, drop_last) caption-length grouping — see
         # _length_group. Inert on eval loaders by construction.
+        # length_grouped="sort" selects the exact-length stable sort — a
+        # MEASUREMENT-ONLY reproduction of the earlier rejected design, kept
+        # so scripts/ab_text_buckets.py can quantify its convergence harm
+        # (BENCH_NOTES round 5); production configs use True (class mode).
+        self.length_group_mode = "sort" if length_grouped == "sort" else "class"
         self.length_grouped = bool(length_grouped) and shuffle and drop_last
         # class edges for _length_group; match trainer.text_buckets (the
         # grouping still helps — batch maxes shrink — if they differ)
@@ -113,6 +118,10 @@ class RegionDataLoader:
         length."""
         if self._text_lens is None:
             self._text_lens = np.asarray(self.dataset.text_lengths())
+        if self.length_group_mode == "sort":
+            # measurement-only (see __init__): stable exact-length sort —
+            # negatives become length-correlated within every batch
+            return idx[np.argsort(self._text_lens[idx], kind="stable")]
         buckets = np.asarray(self.length_buckets)
         # class c = first bucket >= length; len(buckets) = fits-none (pads
         # to the full fixed length)

@@ -10,6 +10,11 @@ engage), 15 epochs on the CPU-forced 8-device mesh, three arms:
   fast     — buckets + data_loader length_grouped       (#14 + #15, the
              exact knob set configs/pt/o2t-cl-local-select-loss-cc-fast.json
              ships)
+  sort     — buckets + the REJECTED earlier design (exact-length stable
+             sort, length_grouped="sort", measurement-only loader mode):
+             quantifies the convergence harm that motivated the
+             class-granular partition (cited by data/loader.py
+             _length_group and PARITY.md #15)
 
 Each arm runs the real CLI end-to-end in a subprocess (tests/
 mp_child_train.py dumps the final flattened log); per-epoch train-loss
@@ -101,7 +106,9 @@ ARMS = (
     ("base", dict(buckets=False, grouped=False)),
     ("buckets", dict(buckets=True, grouped=False)),
     ("fast", dict(buckets=True, grouped=True)),
+    ("sort", dict(buckets=True, grouped="sort")),
 )
+ARM_TAGS = tuple(t for t, _ in ARMS)
 
 
 def main() -> None:
@@ -115,21 +122,20 @@ def main() -> None:
         per_seed[seed] = arms
         print(f"\n## seed {seed}  ({EPOCHS} epochs, {SAMPLES} long-tail "
               f"samples, b={BATCH}; run dirs under {tmp})\n")
-        print("| epoch | base loss | buckets loss | fast loss |")
-        print("|---|---|---|---|")
+        print("| epoch | " + " | ".join(f"{t} loss" for t in ARM_TAGS) + " |")
+        print("|---" * (len(ARM_TAGS) + 1) + "|")
         for ep in sorted(arms["base"][0]):
-            row = [arms[t][0].get(ep, float("nan"))
-                   for t in ("base", "buckets", "fast")]
+            row = [arms[t][0].get(ep, float("nan")) for t in ARM_TAGS]
             print(f"| {ep} | " + " | ".join(f"{v:.4f}" for v in row) + " |")
         keys = sorted(
             k for k in arms["base"][1]
             if k.startswith("val_0_") or k in ("loss_0", "val_loss_0")
         )
         print()
-        print("| metric | base | buckets | fast |")
-        print("|---|---|---|---|")
+        print("| metric | " + " | ".join(ARM_TAGS) + " |")
+        print("|---" * (len(ARM_TAGS) + 1) + "|")
         for k in keys:
-            row = [arms[t][1][k] for t in ("base", "buckets", "fast")]
+            row = [arms[t][1][k] for t in ARM_TAGS]
             print(f"| {k} | "
                   + " | ".join(f"{float(v):.4f}" for v in row) + " |")
     if len(seeds) > 1:
@@ -138,12 +144,12 @@ def main() -> None:
             if k.startswith("val_0_") or k in ("loss_0", "val_loss_0")
         )
         print(f"\n## mean over seeds {seeds}\n")
-        print("| metric | base | buckets | fast |")
-        print("|---|---|---|---|")
+        print("| metric | " + " | ".join(ARM_TAGS) + " |")
+        print("|---" * (len(ARM_TAGS) + 1) + "|")
         for k in keys:
             row = [
                 sum(float(per_seed[s][t][1][k]) for s in seeds) / len(seeds)
-                for t in ("base", "buckets", "fast")
+                for t in ARM_TAGS
             ]
             print(f"| {k} | " + " | ".join(f"{v:.4f}" for v in row) + " |")
 

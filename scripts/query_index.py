@@ -77,7 +77,12 @@ def main() -> None:
     # the index itself (o_mask is the additive CLS-trimmed (N, F*K) mask)
     obj_p = config["arch"].get("args", {}).get("object_params", {})
     object_num = int(obj_p.get("object_num", 30))
-    segments = max(1, gallery["o_mask"].shape[1] // object_num)
+    if "o_mask" in gallery:
+        segments = max(1, gallery["o_mask"].shape[1] // object_num)
+    else:
+        # global-only index (load_index tolerates missing local keys):
+        # fall back to the config's arch frame count for the init template
+        segments = int(obj_p.get("num_frames", 4))
     bs = 8
     template = {
         "input_ids": np.zeros((bs, 100), np.int32),
@@ -110,7 +115,11 @@ def main() -> None:
         segment=int(config.get("eval", {}).get("local_sim_segment", 64)),
         backend=config.get("eval", {}).get("xattn_backend", "auto"),
         mscoco_dedup=str(config["name"]).startswith("MSCOCO"),
-        gallery_meta=gallery_meta or None,
+        # gate on the key topk_retrieval actually consumes — an index with
+        # raw_captions but no paths must not pass a truthy meta dict
+        gallery_meta=(
+            gallery_meta if gallery_meta and "paths" in gallery_meta else None
+        ),
     )
     dt = time.perf_counter() - t0
     if jax.process_index() == 0:

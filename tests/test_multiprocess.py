@@ -293,7 +293,12 @@ def test_two_process_qa_matches_single(tmp_path):
     # same global batches (permuted rows): fp-summation-order tolerance
     assert np.isclose(sp["log"]["loss_0"], payloads[0]["log"]["loss_0"],
                       atol=1e-4)
-    assert sp["log"]["train_acc"] == payloads[0]["log"]["train_acc"]
+    # train_acc counts argmax over 10 near-uniform early-training logits;
+    # the topology changes XLA:CPU matmul tiling (last-ULP logit diffs), so
+    # near-ties can flip — allow a few of the 32 train samples
+    assert abs(sp["log"]["train_acc"] - payloads[0]["log"]["train_acc"]) <= (
+        3 / 32
+    ), (sp["log"]["train_acc"], payloads[0]["log"]["train_acc"])
 
 
 def test_two_process_mc_matches_single(tmp_path):
