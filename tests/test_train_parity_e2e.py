@@ -37,6 +37,15 @@ EPOCHS = 2      # milestone between them exercises the -sc decay plumbing
 LR = 1e-4
 LR1 = 2e-4
 SCHEDULE = [1]  # epoch 2 runs at LR1 * 0.1
+# Adam eps raised from the 1e-6 default ON BOTH SIDES: at eps=1e-6 the
+# early update is ~sign(g)-like, so ~1e-6 cross-framework per-op grad noise
+# flips update SIGNS on near-zero-grad entries and amplifies chaotically
+# (measured: step-0 loss agreement 1.3e-6 rel, step-3 1.2e-2). A smoother
+# eps keeps the update Lipschitz in g so framework noise stays linear,
+# while every semantic contract (bias-correction form, decay placement,
+# LR schedule) still shifts losses far beyond tolerance if broken. The
+# exact eps=1e-6 math itself is pinned by tests/test_optimizer_parity.py.
+EPS = 1e-4
 
 
 def _batches(seed=11):
@@ -169,7 +178,7 @@ def _run_reference(ref, batches, monkeypatch):
     rt = object.__new__(T.Multi_ObjectTrainer_dist)
     rt.model = tm
     rt.loss = ref_loss_mod.GlobalLocalLoss(focal_type="equal")
-    rt.optimizer = _TorchReferenceAdamW(tm.parameters(), lr=LR)
+    rt.optimizer = _TorchReferenceAdamW(tm.parameters(), lr=LR, eps=EPS)
     rt.metrics = []
     rt.tokenizer = None
     rt.device = "cpu"
@@ -237,7 +246,7 @@ def _run_ours(tm, batches, tmp_path):
     )
     loss = GlobalLocalLoss(use_local=True, use_global=True, coef=1.0,
                            focal_type="equal")
-    tx = make_optimizer(lr=LR, reference_exact=True)
+    tx = make_optimizer(lr=LR, eps=EPS, reference_exact=True)
     epoch_slices = {
         e: list(range((e - 1) * N_BATCHES, e * N_BATCHES))
         for e in range(1, EPOCHS + 1)
@@ -303,6 +312,11 @@ def test_train_epoch_parity(ref, tmp_path, monkeypatch):  # noqa: F811
     our_steps, our_epochs = _run_ours(tm_init, batches, tmp_path)
     assert len(our_steps) == EPOCHS * N_BATCHES
 
+    # step 0 is pre-optimizer-divergence: identical converted init +
+    # identical batch -> model fwd + loss assembly parity, tight
+    assert np.isclose(our_steps[0], ref_steps[0], rtol=1e-4, atol=1e-4), (
+        our_steps[0], ref_steps[0],
+    )
     for i, (r, o) in enumerate(zip(ref_steps, our_steps)):
         assert np.isclose(o, r, rtol=2e-3, atol=2e-3), (
             f"step {i}: ours {o} vs reference {r} "
