@@ -112,7 +112,7 @@ class RegionDataLoader:
         smallest class holds ~85%+ of samples, keeping contrastive
         negatives nearly as diverse as uniform batching. (An earlier
         sort-by-exact-length design made negatives length-correlated and
-        measurably hurt convergence — BENCH_NOTES round 4.) Only the
+        measurably hurt convergence — BENCH_NOTES round 5 A/B.) Only the
         (few) class-boundary batches mix classes. __iter__ shuffles the
         final batch ORDER so epoch position doesn't correlate with caption
         length."""
