@@ -114,7 +114,7 @@ def test_within_class_composition_is_unsorted():
     """Within-batch order/composition must follow the epoch permutation, not
     a length sort: length-SORTED batches make contrastive negatives
     length-correlated (an earlier sort-based design measurably hurt
-    convergence — BENCH_NOTES round 4). At least one batch must have
+    convergence — BENCH_NOTES round 5 A/B). At least one batch must have
     non-monotonic within-batch lengths, and same-bucket batches must not
     all share identical length multisets ordering (i.e. real diversity)."""
     ds = _ds(512)
@@ -173,3 +173,25 @@ def test_inert_on_eval_loaders():
     assert not loader.length_grouped
     flat = [i for b in _batch_indices(loader) for i in b]
     assert flat == list(range(64))
+
+
+def test_sort_mode_is_exact_length_sorted_partition():
+    """length_grouped="sort" — the measurement-only reproduction of the
+    REJECTED exact-length-sort design (quantified as a convergence harm in
+    the BENCH_NOTES round-5 A/B; kept only so scripts/ab_text_buckets.py
+    can measure it). Contract: same coverage/determinism as the shipped
+    class mode, but every batch is a contiguous slice of the stable
+    length-sort of the epoch permutation — i.e. batches partition the
+    length axis (the property that makes negatives length-correlated)."""
+    ds = _ds(128)
+    lens = ds.text_lengths()
+    loader = _loader(ds, grouped="sort")
+    assert loader.length_grouped and loader.length_group_mode == "sort"
+    batches = _batch_indices(loader)
+    # pure reorder: full coverage, deterministic
+    assert sorted(i for b in batches for i in b) == list(range(128))
+    assert batches == _batch_indices(_loader(ds, grouped="sort"))
+    # batches are non-overlapping intervals in length space
+    spans = sorted((lens[b].min(), lens[b].max()) for b in batches)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, (hi, lo)

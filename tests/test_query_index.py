@@ -259,3 +259,58 @@ def test_query_index_cli(tmp_path, monkeypatch):
         got_row[r["topk_indices"]] = r["topk_scores"]
         np.testing.assert_allclose(got_row, want[qi], atol=1e-4)
         assert r["topk_paths"] == [paths[i] for i in r["topk_indices"]]
+
+
+def test_query_index_cli_gallery_only_index(tmp_path, monkeypatch):
+    """ADVICE round-4 items 1+2: a GLOBAL-ONLY index (no o_mask/l_* keys —
+    load_index tolerates them missing) with raw_captions but NO paths must
+    query without KeyError: the init template's segment count falls back to
+    the config's arch num_frames, local scoring self-disables, and
+    gallery_meta is not passed when it lacks the consumed 'paths' key.
+    Scores must equal the pure global similarity of the npz's own rows."""
+    cfg = json.loads(
+        Path("configs/smoke/synthetic_retrieval.json").read_text()
+    )
+    cfg["trainer"]["save_dir"] = str(tmp_path / "exps")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    def run(script, argv):
+        spec = importlib.util.spec_from_file_location(
+            Path(script).stem, script
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr("sys.argv", [script] + argv)
+        mod.main()
+
+    emb = tmp_path / "emb.npz"
+    run("scripts/extract_embeddings.py",
+        ["-c", str(cfg_path), "--split", "test", "--output", str(emb)])
+    full = np.load(emb, allow_pickle=False)
+    stripped = tmp_path / "emb_global_only.npz"
+    np.savez(
+        stripped, g_o=full["g_o"], g_t=full["g_t"],
+        raw_captions=full["raw_captions"],
+    )
+
+    captions = [str(c) for c in full["raw_captions"]][:3]
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("\n".join(captions))
+    qres = tmp_path / "query_results.json"
+    n = full["g_o"].shape[0]
+    run("scripts/query_index.py",
+        ["-c", str(cfg_path), "--index", str(stripped),
+         "--queries-file", str(qfile), "-k", str(n), "--output", str(qres)])
+
+    from demovlp_tpu.ops.similarity import sim_matrix
+
+    want = np.asarray(sim_matrix(full["g_t"], full["g_o"]))
+    got = json.loads(qres.read_text())
+    assert len(got) == len(captions)
+    for qi, r in enumerate(got):
+        assert r["query_caption"] == captions[qi]
+        assert "topk_paths" not in r  # no paths in the index -> no meta
+        got_row = np.empty(n, np.float32)
+        got_row[r["topk_indices"]] = r["topk_scores"]
+        np.testing.assert_allclose(got_row, want[qi], atol=1e-4)
