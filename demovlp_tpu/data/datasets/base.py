@@ -196,26 +196,29 @@ class RegionDataset:
                 f"{self.dataset_name}: no readable sample after {_MAX_RETRIES} tries"
             )
         text = self._text(item, rng)
-        # MC datasets return the options LIST from _text; meta keeps the
-        # reference's raw-caption-STRING convention (base_dataset.py:130) so
-        # the serving index never stores a Python-repr'd list — use the
-        # first (ground-truth-ordered) option as the canonical caption
-        raw_caption = (
-            text[0] if isinstance(text, (list, tuple)) and text else text
-        )
         data = {
             "text": text,
-            "meta": {
-                "paths": self._object_path(item),
-                # reference datasets expose the raw caption in meta
-                # (e.g. MSRVTT_dataset.py:159) — the visualizer and the
-                # serving index read it
-                "raw_captions": raw_caption,
-                "dataset": self.dataset_name,
-            },
+            "meta": self._meta(item, text),
         }
         data.update(self._extras(item))
         return paths, data
+
+    def _meta(self, item: int, text) -> Dict[str, Any]:
+        """Per-sample meta, shared by get_item and the plan_item fast path.
+        Reference datasets expose the raw caption in meta
+        (e.g. MSRVTT_dataset.py:159) — the visualizer and the serving index
+        read it. MC datasets return the options LIST from _text; meta keeps
+        the reference's raw-caption-STRING convention (base_dataset.py:130)
+        so the serving index never stores a Python-repr'd list — the
+        canonical caption is the first (ground-truth-ordered) option."""
+        raw_caption = (
+            text[0] if isinstance(text, (list, tuple)) and text else text
+        )
+        return {
+            "paths": self._object_path(item),
+            "raw_captions": raw_caption,
+            "dataset": self.dataset_name,
+        }
 
     def get_item(self, item: int, rng: np.random.Generator) -> Dict[str, Any]:
         item = item % len(self)
@@ -237,13 +240,7 @@ class RegionDataset:
             "object_mask": obj_mask,
             "object_len": obj_len,
             "text": text,
-            "meta": {
-                "paths": self._object_path(item),
-                # reference parity: raw caption rides in meta
-                # (MSRVTT_dataset.py:159)
-                "raw_captions": text,
-                "dataset": self.dataset_name,
-            },
+            "meta": self._meta(item, text),
         }
         data.update(self._extras(item))
         return data

@@ -14,6 +14,13 @@ import sys
 
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
+# make `python scripts/profile_xplane.py` work from anywhere WITHOUT
+# PYTHONPATH=<repo>: sys.path[0] is scripts/, so the package import below
+# needs the repo root appended. (Appended, not env: in this environment a
+# PYTHONPATH entry at interpreter start breaks the TPU plugin's platform
+# registration — 'axon' vanishes from jax's known backends.)
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from demovlp_tpu.utils.platform import pin_platform_from_env  # noqa: E402

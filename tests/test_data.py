@@ -255,3 +255,25 @@ def test_read_object_topk_legacy(tmp_path):
     # unique-classes mode keeps one region per detector class
     out3 = read_object_topk(str(vdir), [0], top_k=4, unique_classes=True)
     assert out3.shape == (1, 4, REGION_DIM)
+
+
+def test_mc_meta_raw_caption_is_canonical_string():
+    """ADVICE round-4 item 3: MC datasets return the options LIST from
+    _text, but meta['raw_captions'] must keep the reference's
+    raw-caption-STRING convention (base_dataset.py:130) so the serving
+    index never stores a Python-repr'd list — the canonical caption is the
+    first (ground-truth-ordered) option."""
+    ds = dataset_object_loader(
+        "SyntheticObjectSelect",
+        text_params={},
+        object_params={
+            "num_frames": 1, "object_num": 4, "num_samples": 8,
+            "task": "mc", "num_options": 5,
+        },
+        split="test",
+    )
+    sample = ds[0]
+    opts = sample["text"]
+    assert isinstance(opts, (list, tuple)) and len(opts) == 5
+    raw = sample["meta"]["raw_captions"]
+    assert isinstance(raw, str) and raw == opts[0]
