@@ -62,7 +62,11 @@ def main() -> None:
     b = int(os.environ.get("BENCH_BATCH", 128))
     f = int(os.environ.get("BENCH_FRAMES", 1))
     k = int(os.environ.get("BENCH_REGIONS", 30))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    # 20-step timing window (was 10): the dispatch-amortization under-read
+    # of the short window is ~1.7% at the 80 ms flagship step (round-5
+    # ablation log: 1,600.0 at 10 steps vs 1,627.3 at 20, same box/session);
+    # same compiled executable either way.
+    steps = int(os.environ.get("BENCH_STEPS", 20))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     # ablation knobs for perf decomposition (profile_step.py-style isolated
     # jits mis-time on the remote backend; ablating the real donating step

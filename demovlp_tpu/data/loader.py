@@ -21,6 +21,11 @@ import numpy as np
 from demovlp_tpu.data.datasets import dataset_object_loader
 from demovlp_tpu.data.transforms import init_transform_dict
 
+# [CLS] + [SEP] — the margin between the word-count length proxy and the
+# tokenized length the text_buckets edges are compared against
+# (see _length_group)
+_TOKENIZER_SPECIALS = 2
+
 
 def collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack per-sample dicts into a fixed-shape numpy batch."""
@@ -123,9 +128,20 @@ class RegionDataLoader:
             # negatives become length-correlated within every batch
             return idx[np.argsort(self._text_lens[idx], kind="stable")]
         buckets = np.asarray(self.length_buckets)
-        # class c = first bucket >= length; len(buckets) = fits-none (pads
-        # to the full fixed length)
-        cls = np.searchsorted(buckets, self._text_lens[idx], side="left")
+        # class c = first bucket >= PREDICTED TOKEN length. The proxy is a
+        # whitespace word count while the bucket edges are TOKEN lengths
+        # (trainer.text_buckets compares prepare_batch's tokenized
+        # attention-mask sums), and every tokenizer adds [CLS]/[SEP] — so a
+        # raw-proxy class-32 batch whose longest caption has 31-32 words
+        # tokenizes past the edge and prepare_batch promotes all its rows
+        # to the next bucket. Measured on the long-tail bench epoch: 15 of
+        # 16 leaked batches recovered by the +2 specials margin
+        # (bench_lengrouped, BENCH_NOTES round 5). Wordpiece expansion can
+        # still leak a batch whose words split — the margin is a floor, not
+        # exact. len(buckets) = fits-none (pads to the full fixed length).
+        cls = np.searchsorted(
+            buckets, self._text_lens[idx] + _TOKENIZER_SPECIALS, side="left"
+        )
         return np.concatenate(
             [idx[cls == c] for c in range(len(buckets) + 1)]
         )

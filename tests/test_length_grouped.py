@@ -195,3 +195,46 @@ def test_sort_mode_is_exact_length_sorted_partition():
     spans = sorted((lens[b].min(), lens[b].max()) for b in batches)
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo, (hi, lo)
+
+
+def test_class_prediction_matches_tokenized_bucket():
+    """The class partition must PREDICT prepare_batch's bucket decision:
+    bucket edges are TOKEN lengths (attention-mask sums incl. [CLS]/[SEP])
+    while the grouping proxy is a word count, so the class assignment
+    carries a +2 specials margin (round-5 fix: without it, every class-32
+    batch whose longest caption has 31-32 words was promoted to bucket 48
+    by the tokenizer — half the fast-band batches on the bench epoch).
+    Whole-word captions (the synthetic vocabulary) tokenize 1 token/word
+    under SimpleTokenizer, so prediction must be EXACT here."""
+    from demovlp_tpu.data.tokenizer import SimpleTokenizer
+    from demovlp_tpu.train.steps import prepare_batch
+
+    ds = _ds(1024)
+    lens = ds.text_lengths()
+    tok = SimpleTokenizer(max_length=100)
+    loader = _loader(ds, bs=64, grouped=True)
+    batches = _batch_indices(loader)
+    for b in batches:
+        max_words = int(lens[b].max())
+        predicted = _bucket_of(max_words + 2)
+        texts = [ds[i]["text"] for i in b]
+        enc = tok(texts, max_length=100)
+        got = prepare_batch(
+            {"text": texts, "object": np.zeros((len(b), 1, 1, 1)),
+             "object_mask": np.zeros((len(b), 1, 1))},
+            tok, text_buckets=list(BUCKETS),
+        )
+        assert got["input_ids"].shape[1] == predicted, (
+            max_words, predicted, got["input_ids"].shape,
+            int(enc["attention_mask"].sum(axis=1).max()),
+        )
+    # the leak this guards against: the share of batches REALLY running at
+    # the smallest token bucket must track the per-sample ideal (samples
+    # whose predicted token length fits 32), up to class-boundary batches —
+    # pre-fix, raw-proxy classes leaked every 31-32-word class-32 batch to
+    # bucket 48 (roughly half the fast band on a long-tail epoch)
+    ideal = float(np.mean(lens + 2 <= 32))
+    share = float(np.mean(
+        [_bucket_of(int(lens[b].max()) + 2) == 32 for b in batches]
+    ))
+    assert share >= ideal - (len(BUCKETS) + 1) / len(batches), (share, ideal)
