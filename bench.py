@@ -13,7 +13,7 @@ so vs_baseline is reported against this framework's round-1 recorded number
 once one exists; until then 1.0.
 
 Env knobs: BENCH_BATCH (default 128), BENCH_FRAMES (1), BENCH_REGIONS (30),
-BENCH_STEPS (10), BENCH_DTYPE (bfloat16|float32, default bfloat16),
+BENCH_STEPS (20), BENCH_DTYPE (bfloat16|float32, default bfloat16),
 BENCH_LOCAL_DTYPE (bfloat16 default — the shipped pre-train setting),
 BENCH_LOCAL_REMAT / BENCH_NORM_DTYPE / BENCH_PRNG / BENCH_ATTN (see
 BENCH_NOTES.md for the measured effect of each).
