@@ -139,8 +139,10 @@ def main() -> None:
         mu_dtype=os.environ.get("BENCH_MU_DTYPE"),
         # BENCH_PACK_SMALL=1 packs the ~140 tiny bias/LN leaves into one flat
         # buffer for the update — numerically exact, targets the measured
-        # per-fusion overhead of the optimizer (8.9 ms vs 5.2 ms floor)
-        pack_small=os.environ.get("BENCH_PACK_SMALL", "0") == "1",
+        # per-fusion overhead of the optimizer (8.9 ms vs 5.2 ms floor).
+        # Values > 1 are the packing threshold in elements (e.g.
+        # 1000000000 packs EVERY f32 leaf incl. the ~60 large matrices).
+        pack_small=int(os.environ.get("BENCH_PACK_SMALL", "0")),
     )
     sb = shard_batch(batch, mesh)
 

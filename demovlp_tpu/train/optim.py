@@ -216,7 +216,17 @@ def _adamw(
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     if pack_small:
-        tx = pack_small_leaves(tx)
+        # truthy-int values above the default act as the packing threshold
+        # (an ablation surface: a huge threshold packs EVERY f32 leaf,
+        # measuring whether the per-fusion overhead of the ~60 LARGE leaves
+        # is worth the pack/unpack concat traffic — see BENCH_NOTES)
+        thr = (
+            int(pack_small)
+            if isinstance(pack_small, int) and not isinstance(pack_small, bool)
+            and int(pack_small) > 1
+            else 8192
+        )
+        tx = pack_small_leaves(tx, threshold=thr)
     return tx
 
 
